@@ -1,0 +1,48 @@
+"""Engine configuration.
+
+The reference's entire runtime configuration is one constructor knob,
+``feather::Net(num_threads)`` plus a mempool pointer bundled as
+``RuntimeParameter`` ([pub] src/rt_param.h).  The TPU-native analog is this
+dataclass: dtype policy, kernel backend, quantization mode, algorithm
+overrides, and mesh/parallelism spec — all static at compile (trace) time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+__all__ = ["EngineConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    # Activation compute dtype: "float32" or "bfloat16" (f32 accumulation
+    # either way via preferred_element_type on the MXU).
+    compute_dtype: str = "float32"
+
+    # Kernel backend for the hot ops:
+    #   "xla"    — pure jnp/lax lowering (the test oracle; runs anywhere)
+    #   "pallas" — hand-written Pallas MXU/VPU kernels
+    backend: str = "xla"
+
+    # Quantization mode: None | "w8" (weight-only int8, per-out-channel
+    # symmetric, dequant fused in epilogue) | "w8a8" (full int8).
+    quant: Optional[str] = None
+
+    # Per-layer conv algorithm override: name -> "gemm"|"winograd"|
+    # "depthwise"|"direct".  Default: dispatcher picks (SelectAlgo analog,
+    # [pub] src/booster/arm/booster.cpp).
+    algo_overrides: Tuple[Tuple[str, str], ...] = ()
+
+    # Parallelism: None (single device) or a ShardingConfig (parallel/mesh.py).
+    sharding: Optional[Any] = None
+
+    # Run Pallas kernels in interpreter mode (CPU CI without a TPU).
+    interpret: bool = False
+
+    def algo_for(self, layer_name: str) -> Optional[str]:
+        return dict(self.algo_overrides).get(layer_name)
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)

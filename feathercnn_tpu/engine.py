@@ -1,0 +1,179 @@
+"""The inference engine: graph -> optimization passes -> one jitted function.
+
+The reference's ``feather::Net`` ([pub] src/net.h/.cpp) has a two-phase
+lifecycle: an expensive ``InitFromBuffer`` (parse -> build layers -> fuse ->
+pick algorithms -> pre-transform weights -> size mempool) and a cheap
+``Forward`` that walks the layer list.  The TPU-native analog:
+
+  Init   -> IR passes (passes.optimize) + quant rewrite + trace + XLA
+            compile (Engine.compile);
+  Forward-> run the compiled executable (Engine.run / __call__);
+  ExtractBlob -> name any intermediate value as an extra jit output
+            (Engine.extract) — like the reference, extracting a value that
+            fusion removed forces a different (less-fused) executable.
+
+Scratch memory (the CommonMemPool analog, [pub] src/mempool.h) is XLA's
+buffer assignment; input buffers are donated.
+"""
+
+from __future__ import annotations
+
+import copy
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import EngineConfig
+from .ir import Graph, infer_shapes
+from .passes import optimize
+from .ops.lowering import LoweringCtx, lower_node
+
+__all__ = ["Engine"]
+
+
+class Engine:
+    def __init__(self, graph: Graph, config: Optional[EngineConfig] = None,
+                 optimize_graph: bool = True):
+        self.config = config or EngineConfig()
+        self.graph = copy.deepcopy(graph)
+        if optimize_graph:
+            optimize(self.graph)
+        if self.config.quant:
+            from .quant.rewrite import quantize_graph
+            quantize_graph(self.graph, self.config.quant)
+        infer_shapes(self.graph)
+        self.graph.validate()
+        self._device_params: Optional[Dict[str, jax.Array]] = None
+        self._jitted: Dict[tuple, Any] = {}
+
+    # ------------------------------------------------------------------
+    @property
+    def input_names(self) -> List[str]:
+        return list(self.graph.inputs)
+
+    @property
+    def output_names(self) -> List[str]:
+        return list(self.graph.outputs)
+
+    def blob_shape(self, name: str):
+        """GetBlobDataSize analog ([pub] src/net.cpp)."""
+        return self.graph.specs[name].shape
+
+    # ------------------------------------------------------------------
+    def _prepare_params(self) -> Dict[str, jax.Array]:
+        """Move weights to device once, pre-cast to the compute dtype.
+
+        The analog of the reference's one-time weight pre-transform at
+        ``Init`` ([pub] src/booster/arm/booster.cpp): big multiplicand
+        weights go to the compute dtype (bf16 keeps MXU throughput high),
+        biases/scales stay f32 for the epilogue accumulation.
+        """
+        if self._device_params is not None:
+            return self._device_params
+        cdtype = jnp.dtype(self.config.compute_dtype)
+        out: Dict[str, jax.Array] = {}
+        weight_names = set()
+        for n in self.graph.nodes:
+            if n.op in ("Convolution", "InnerProduct") and n.params:
+                weight_names.add(n.params[0])
+        for k, v in self.graph.params.items():
+            arr = np.asarray(v)
+            if (k in weight_names and arr.dtype == np.float32
+                    and cdtype != jnp.float32):
+                out[k] = jax.device_put(arr.astype(cdtype))
+            else:
+                out[k] = jax.device_put(arr)
+        self._device_params = out
+        return out
+
+    # ------------------------------------------------------------------
+    def _build_forward(self, extra_outputs: Sequence[str] = ()):
+        graph = self.graph
+        ctx = LoweringCtx(graph, self.config)
+        wanted = list(dict.fromkeys(list(graph.outputs) + list(extra_outputs)))
+        for w in wanted:
+            if w not in graph.specs:
+                raise KeyError(f"unknown blob {w!r}")
+
+        def forward(params: Dict[str, jax.Array],
+                    inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+            cdtype = jnp.dtype(self.config.compute_dtype)
+            env: Dict[str, jax.Array] = {}
+            for name in graph.inputs:
+                x = inputs[name]
+                env[name] = x.astype(cdtype) if jnp.issubdtype(
+                    x.dtype, jnp.floating) else x
+            for node in graph.nodes:
+                ins = [env[i] for i in node.inputs]
+                ps = [params[p] for p in node.params]
+                outs = lower_node(node, ins, ps, ctx)
+                for name, val in zip(node.outputs, outs):
+                    env[name] = val
+            return {w: env[w] for w in wanted}
+
+        return forward
+
+    def _get_jitted(self, extra_outputs: Sequence[str] = ()):
+        key = tuple(extra_outputs)
+        if key not in self._jitted:
+            fwd = self._build_forward(extra_outputs)
+            self._jitted[key] = jax.jit(fwd)
+        return self._jitted[key]
+
+    # ------------------------------------------------------------------
+    def compile(self, batch: Optional[int] = None) -> None:
+        """Ahead-of-time compile for the declared input shapes (Init phase).
+
+        Populates the jit cache so the first ``run`` is cheap; mirrors the
+        reference doing all expensive work in ``InitFromBuffer``.
+        """
+        inputs = {}
+        for name, spec in self.graph.inputs.items():
+            shape = list(spec.shape)
+            if batch is not None:
+                shape[0] = batch
+            inputs[name] = jnp.zeros(shape, jnp.dtype(spec.dtype))
+        self.run(inputs)
+
+    def run(self, inputs: Union[np.ndarray, jax.Array, Dict[str, Any]],
+            extract: Sequence[str] = ()) -> Dict[str, jax.Array]:
+        """Forward pass.  ``inputs`` is an array (single-input nets) or a
+        name->array dict.  Returns name->jax.Array for every graph output
+        plus anything in ``extract``."""
+        if not isinstance(inputs, dict):
+            (name,) = self.graph.inputs
+            inputs = {name: inputs}
+        inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+        for name, x in inputs.items():
+            spec = self.graph.inputs.get(name)
+            if spec is None:
+                raise KeyError(f"unknown graph input {name!r}")
+            # Batch and spatial dims may differ from the declared spec
+            # (ForwardReshape analog, [pub] src/layer.h — triggers a
+            # recompile); rank and channel count must match.
+            if x.ndim != len(spec.shape) or (
+                    x.ndim == 4 and x.shape[-1] != spec.shape[-1]):
+                raise ValueError(
+                    f"input {name!r} has shape {x.shape}, expected "
+                    f"{spec.shape} (batch/spatial may vary, channels/rank "
+                    f"may not)")
+        params = self._prepare_params()
+        fn = self._get_jitted(tuple(extract))
+        return fn(params, inputs)
+
+    def __call__(self, x) -> jax.Array:
+        """Forward returning the primary output (Net::Forward analog)."""
+        out = self.run(x)
+        return out[self.graph.outputs[0]]
+
+    def extract(self, x, names: Sequence[str]) -> Dict[str, jax.Array]:
+        """ExtractBlob analog: fetch named intermediate activations.
+
+        Note the same caveat as the reference: values consumed by fusion
+        (folded BN outputs etc.) no longer exist; asking for a live
+        intermediate builds a second executable with extra outputs.
+        """
+        return self.run(x, extract=names)

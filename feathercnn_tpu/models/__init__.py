@@ -1,0 +1,6 @@
+from .builder import GraphBuilder
+from .zoo import (MODEL_BUILDERS, build_model, googlenet, mobilenet_v1,
+                  resnet50, squeezenet_v11, vgg16)
+
+__all__ = ["GraphBuilder", "MODEL_BUILDERS", "build_model", "googlenet",
+           "mobilenet_v1", "resnet50", "squeezenet_v11", "vgg16"]

@@ -1,0 +1,210 @@
+"""Model zoo: the five BASELINE.json configs as IR graph builders.
+
+Layer sequences follow the public Caffe deploy prototxts these models ship
+with (the same files FeatherCNN's converter consumes,
+[pub] tools/feather_convert_caffe.cpp): SqueezeNet-v1.1, MobileNet-v1,
+VGG-16, ResNet-50, GoogLeNet/Inception-v1.  Weights are seeded-random
+(He init) unless replaced by tools/convert_caffe.py output.
+"""
+
+from __future__ import annotations
+
+from ..ir import Graph
+from .builder import GraphBuilder
+
+__all__ = ["squeezenet_v11", "mobilenet_v1", "vgg16", "resnet50",
+           "googlenet", "build_model", "MODEL_BUILDERS"]
+
+
+def squeezenet_v11(batch: int = 1, seed: int = 0,
+                   with_softmax: bool = True) -> Graph:
+    """SqueezeNet v1.1 (227x227 input, fire modules with squeeze/expand)."""
+    b = GraphBuilder("squeezenet_v11", seed)
+
+    def fire(name, x, s1, e1, e3):
+        s = b.conv(name + "/squeeze1x1", x, s1, 1, relu=True)
+        ex1 = b.conv(name + "/expand1x1", s, e1, 1, relu=True)
+        ex3 = b.conv(name + "/expand3x3", s, e3, 3, pad=1, relu=True)
+        return b.concat(name + "/concat", [ex1, ex3])
+
+    x = b.input("data", (batch, 227, 227, 3))
+    x = b.conv("conv1", x, 64, 3, stride=2, relu=True)
+    x = b.pool("pool1", x, 3, 2)
+    x = fire("fire2", x, 16, 64, 64)
+    x = fire("fire3", x, 16, 64, 64)
+    x = b.pool("pool3", x, 3, 2)
+    x = fire("fire4", x, 32, 128, 128)
+    x = fire("fire5", x, 32, 128, 128)
+    x = b.pool("pool5", x, 3, 2)
+    x = fire("fire6", x, 48, 192, 192)
+    x = fire("fire7", x, 48, 192, 192)
+    x = fire("fire8", x, 64, 256, 256)
+    x = fire("fire9", x, 64, 256, 256)
+    x = b.dropout("drop9", x)
+    x = b.conv("conv10", x, 1000, 1, relu=True)
+    x = b.pool("pool10", x, 0, mode="AVE", global_pooling=True)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    return b.finish([x])
+
+
+def mobilenet_v1(batch: int = 1, seed: int = 0, width_mult: float = 1.0,
+                 with_softmax: bool = True) -> Graph:
+    """MobileNet-v1 (224x224): 13 depthwise-separable blocks, Caffe-style
+    BatchNorm+Scale after every conv (the depthwise config of
+    BASELINE.json:8)."""
+    b = GraphBuilder("mobilenet_v1", seed)
+
+    def c(ch):
+        return max(8, int(ch * width_mult))
+
+    def conv_block(name, x, ch, kernel=1, stride=1, pad=0, group=1):
+        x = b.conv(name, x, ch, kernel, stride, pad, group=group, bias=False)
+        x = b.bn_scale(name + "_bnsc", x)
+        return b.relu(name + "/relu", x)
+
+    def dw_sep(idx, x, ch, stride):
+        cin = b._channels[x]
+        x = b.conv(f"conv{idx}/dw", x, cin, 3, stride, 1, group=cin,
+                   bias=False)
+        x = b.bn_scale(f"conv{idx}/dw_bnsc", x)
+        x = b.relu(f"conv{idx}/dw/relu", x)
+        x = b.conv(f"conv{idx}/sep", x, ch, 1, 1, 0, bias=False)
+        x = b.bn_scale(f"conv{idx}/sep_bnsc", x)
+        return b.relu(f"conv{idx}/sep/relu", x)
+
+    x = b.input("data", (batch, 224, 224, 3))
+    x = conv_block("conv1", x, c(32), 3, 2, 1)
+    x = dw_sep(2, x, c(64), 1)
+    x = dw_sep(3, x, c(128), 2)
+    x = dw_sep(4, x, c(128), 1)
+    x = dw_sep(5, x, c(256), 2)
+    x = dw_sep(6, x, c(256), 1)
+    x = dw_sep(7, x, c(512), 2)
+    for i in range(8, 13):
+        x = dw_sep(i, x, c(512), 1)
+    x = dw_sep(13, x, c(1024), 2)
+    x = dw_sep(14, x, c(1024), 1)
+    x = b.pool("pool6", x, 0, mode="AVE", global_pooling=True)
+    x = b.fc("fc7", x, 1000)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    return b.finish([x])
+
+
+def vgg16(batch: int = 1, seed: int = 0, with_softmax: bool = True) -> Graph:
+    """VGG-16 (224x224) — the Winograd-path config (BASELINE.json:9):
+    thirteen 3x3 stride-1 convs, exactly WINOGRADF63's selection criterion
+    ([pub] src/booster/arm/booster.cpp)."""
+    b = GraphBuilder("vgg16", seed)
+    x = b.input("data", (batch, 224, 224, 3))
+    cfg = [(1, 2, 64), (2, 2, 128), (3, 3, 256), (4, 3, 512), (5, 3, 512)]
+    for stage, n, ch in cfg:
+        for i in range(1, n + 1):
+            x = b.conv(f"conv{stage}_{i}", x, ch, 3, pad=1, relu=True)
+        x = b.pool(f"pool{stage}", x, 2, 2)
+    x = b.fc("fc6", x, 4096, relu=True)
+    x = b.dropout("drop6", x)
+    x = b.fc("fc7", x, 4096, relu=True)
+    x = b.dropout("drop7", x)
+    x = b.fc("fc8", x, 1000)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    return b.finish([x])
+
+
+def resnet50(batch: int = 1, seed: int = 0, with_softmax: bool = True) -> Graph:
+    """ResNet-50 (224x224), Caffe-style: conv+BN+Scale triples, bottleneck
+    blocks with Eltwise-SUM shortcuts and fused ReLU — the full-INT8 config
+    (BASELINE.json:10)."""
+    b = GraphBuilder("resnet50", seed)
+
+    def conv_bn(name, x, ch, kernel, stride=1, pad=0, relu=True):
+        x = b.conv(name, x, ch, kernel, stride, pad, bias=False)
+        x = b.bn_scale("bn" + name[3:] if name.startswith("res") else name + "_bn", x)
+        if relu:
+            x = b.relu(name + "_relu", x)
+        return x
+
+    def bottleneck(name, x, ch, stride=1, project=False):
+        shortcut = x
+        if project:
+            shortcut = conv_bn(f"res{name}_branch1", x, ch * 4, 1,
+                               stride=stride, relu=False)
+        y = conv_bn(f"res{name}_branch2a", x, ch, 1, stride=stride)
+        y = conv_bn(f"res{name}_branch2b", y, ch, 3, pad=1)
+        y = conv_bn(f"res{name}_branch2c", y, ch * 4, 1, relu=False)
+        out = b.eltwise(f"res{name}", [shortcut, y])
+        return b.relu(f"res{name}_relu", out)
+
+    x = b.input("data", (batch, 224, 224, 3))
+    x = conv_bn("conv1", x, 64, 7, stride=2, pad=3)
+    x = b.pool("pool1", x, 3, 2)
+    for stage, (ch, blocks) in enumerate(
+            [(64, 3), (128, 4), (256, 6), (512, 3)], start=2):
+        names = [chr(ord("a") + i) for i in range(blocks)]
+        for i, blk in enumerate(names):
+            stride = 2 if (i == 0 and stage > 2) else 1
+            x = bottleneck(f"{stage}{blk}", x, ch, stride=stride,
+                           project=(i == 0))
+    x = b.pool("pool5", x, 0, mode="AVE", global_pooling=True)
+    x = b.fc("fc1000", x, 1000)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    return b.finish([x])
+
+
+def googlenet(batch: int = 1, seed: int = 0, with_softmax: bool = True) -> Graph:
+    """GoogLeNet / Inception-v1 (224x224): multi-branch inception modules
+    with channel Concat + LRN — the multi-host serving config
+    (BASELINE.json:11)."""
+    b = GraphBuilder("googlenet", seed)
+
+    def inception(name, x, c1, c3r, c3, c5r, c5, pp):
+        b1 = b.conv(f"inception_{name}/1x1", x, c1, 1, relu=True)
+        b3 = b.conv(f"inception_{name}/3x3_reduce", x, c3r, 1, relu=True)
+        b3 = b.conv(f"inception_{name}/3x3", b3, c3, 3, pad=1, relu=True)
+        b5 = b.conv(f"inception_{name}/5x5_reduce", x, c5r, 1, relu=True)
+        b5 = b.conv(f"inception_{name}/5x5", b5, c5, 5, pad=2, relu=True)
+        bp = b.pool(f"inception_{name}/pool", x, 3, 1, pad=1)
+        bp = b.conv(f"inception_{name}/pool_proj", bp, pp, 1, relu=True)
+        return b.concat(f"inception_{name}/output", [b1, b3, b5, bp])
+
+    x = b.input("data", (batch, 224, 224, 3))
+    x = b.conv("conv1/7x7_s2", x, 64, 7, stride=2, pad=3, relu=True)
+    x = b.pool("pool1/3x3_s2", x, 3, 2)
+    x = b.lrn("pool1/norm1", x)
+    x = b.conv("conv2/3x3_reduce", x, 64, 1, relu=True)
+    x = b.conv("conv2/3x3", x, 192, 3, pad=1, relu=True)
+    x = b.lrn("conv2/norm2", x)
+    x = b.pool("pool2/3x3_s2", x, 3, 2)
+    x = inception("3a", x, 64, 96, 128, 16, 32, 32)
+    x = inception("3b", x, 128, 128, 192, 32, 96, 64)
+    x = b.pool("pool3/3x3_s2", x, 3, 2)
+    x = inception("4a", x, 192, 96, 208, 16, 48, 64)
+    x = inception("4b", x, 160, 112, 224, 24, 64, 64)
+    x = inception("4c", x, 128, 128, 256, 24, 64, 64)
+    x = inception("4d", x, 112, 144, 288, 32, 64, 64)
+    x = inception("4e", x, 256, 160, 320, 32, 128, 128)
+    x = b.pool("pool4/3x3_s2", x, 3, 2)
+    x = inception("5a", x, 256, 160, 320, 32, 128, 128)
+    x = inception("5b", x, 384, 192, 384, 48, 128, 128)
+    x = b.pool("pool5/7x7_s1", x, 0, mode="AVE", global_pooling=True)
+    x = b.dropout("pool5/drop_7x7_s1", x)
+    x = b.fc("loss3/classifier", x, 1000)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    return b.finish([x])
+
+
+MODEL_BUILDERS = {
+    "squeezenet_v11": squeezenet_v11,
+    "mobilenet_v1": mobilenet_v1,
+    "vgg16": vgg16,
+    "resnet50": resnet50,
+    "googlenet": googlenet,
+}
+
+
+def build_model(name: str, batch: int = 1, **kw) -> Graph:
+    return MODEL_BUILDERS[name](batch=batch, **kw)

@@ -1,0 +1,398 @@
+"""Per-op lowering: IR node -> jnp/lax expression (NHWC).
+
+This is the analog of the per-layer ``Forward`` implementations under
+[pub] src/layers/ — but instead of mutating blobs through a mempool, each
+lowering is a pure function composed into one traced graph that XLA fuses.
+
+Two backends share this module:
+  - "xla":    every op lowers to plain jnp/lax (the oracle; runs on CPU).
+  - "pallas": Convolution / InnerProduct / Pooling route to the Pallas
+    MXU/VPU kernels in feathercnn_tpu.kernels (the booster analog,
+    [pub] src/booster/arm/*); everything elementwise stays jnp and XLA
+    fuses it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ir import Graph, Node, conv_out_dim
+
+__all__ = ["LoweringCtx", "lower_node", "register_lowering", "apply_activation"]
+
+
+class LoweringCtx:
+    """Carried through lowering: config + graph + per-node quant metadata."""
+
+    def __init__(self, graph: Graph, config):
+        self.graph = graph
+        self.config = config
+
+    @property
+    def backend(self) -> str:
+        return self.config.backend
+
+    def qinfo(self, node: Node) -> Optional[Dict[str, Any]]:
+        return self.graph.meta.get("quant", {}).get(node.name)
+
+
+LowerFn = Callable[[Node, List[jnp.ndarray], List[jnp.ndarray], LoweringCtx],
+                   List[jnp.ndarray]]
+_LOWERINGS: Dict[str, LowerFn] = {}
+
+
+def register_lowering(op: str):
+    def deco(fn: LowerFn) -> LowerFn:
+        _LOWERINGS[op] = fn
+        return fn
+    return deco
+
+
+def lower_node(node: Node, inputs, params, ctx: LoweringCtx):
+    fn = _LOWERINGS.get(node.op)
+    if fn is None:
+        raise NotImplementedError(f"no lowering for op {node.op!r}")
+    return fn(node, inputs, params, ctx)
+
+
+def apply_activation(x: jnp.ndarray, act: Optional[str]) -> jnp.ndarray:
+    """Fused epilogue activations — the WinogradOutType / sgemm store-back
+    variants of the reference ([pub] src/booster/arm/winograd_kernels_F63.cpp)."""
+    if act is None:
+        return x
+    if act == "relu":
+        return jnp.maximum(x, 0)
+    if act == "relu6":
+        return jnp.clip(x, 0, 6)
+    raise ValueError(f"unknown activation {act!r}")
+
+
+# ----------------------------------------------------------------------
+# Convolution family
+# ----------------------------------------------------------------------
+
+def _conv_hparams(node: Node):
+    a = node.attrs
+    kh = a.get("kernel_h", a.get("kernel_size", 1))
+    kw = a.get("kernel_w", a.get("kernel_size", 1))
+    sh = a.get("stride_h", a.get("stride", 1))
+    sw = a.get("stride_w", a.get("stride", 1))
+    ph = a.get("pad_h", a.get("pad", 0))
+    pw = a.get("pad_w", a.get("pad", 0))
+    dil = a.get("dilation", 1)
+    group = a.get("group", 1)
+    return kh, kw, sh, sw, ph, pw, dil, group
+
+
+@register_lowering("Convolution")
+def _lower_conv(node, inputs, params, ctx):
+    x = inputs[0]
+    w = params[0]  # HWIO (H, W, Cin/group, Cout)
+    bias = params[1] if node.attrs.get("bias_term", True) and len(params) > 1 else None
+    kh, kw, sh, sw, ph, pw, dil, group = _conv_hparams(node)
+    act = node.attrs.get("activation")
+
+    if ctx.backend == "pallas":
+        from ..kernels import dispatch as kdispatch
+        return [kdispatch.conv_forward(node, x, w, bias, ctx)]
+
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        rhs_dilation=(dil, dil),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=group,
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    y = apply_activation(y, act)
+    return [y.astype(x.dtype)]
+
+
+@register_lowering("InnerProduct")
+def _lower_fc(node, inputs, params, ctx):
+    x = inputs[0]
+    w = params[0]  # (in, out)
+    bias = params[1] if node.attrs.get("bias_term", True) and len(params) > 1 else None
+    act = node.attrs.get("activation")
+    if x.ndim > 2:
+        # Caffe flattens NCHW as (N, C*H*W); our activations are NHWC, and
+        # the converter pre-permutes FC weights to match NHWC flattening.
+        x = x.reshape(x.shape[0], -1)
+
+    if ctx.backend == "pallas":
+        from ..kernels import dispatch as kdispatch
+        return [kdispatch.fc_forward(node, x, w, bias, ctx)]
+
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    y = apply_activation(y, act)
+    return [y.astype(x.dtype)]
+
+
+# ----------------------------------------------------------------------
+# Pooling — Caffe semantics: ceil-mode output size; AVE divides by the
+# window clipped to the *padded* region ([pub] src/layers/pooling_layer.cpp
+# behavior, inherited from Caffe).
+# ----------------------------------------------------------------------
+
+def _pool_padding(size, k, s, p, ceil_mode):
+    out = conv_out_dim(size, k, s, p, 1, ceil_mode=ceil_mode)
+    needed = (out - 1) * s + k - size - 2 * p  # extra high-side pad
+    return out, max(needed, 0)
+
+
+@register_lowering("Pooling")
+def _lower_pool(node, inputs, params, ctx):
+    x = inputs[0]
+    n, h, w, c = x.shape
+    if node.attrs.get("global_pooling", False):
+        if node.attrs.get("pool", "MAX") == "AVE":
+            return [jnp.mean(x, axis=(1, 2), keepdims=True)]
+        return [jnp.max(x, axis=(1, 2), keepdims=True)]
+
+    kh = node.attrs.get("kernel_h", node.attrs.get("kernel_size"))
+    kw = node.attrs.get("kernel_w", node.attrs.get("kernel_size"))
+    sh = node.attrs.get("stride_h", node.attrs.get("stride", 1))
+    sw = node.attrs.get("stride_w", node.attrs.get("stride", 1))
+    ph = node.attrs.get("pad_h", node.attrs.get("pad", 0))
+    pw = node.attrs.get("pad_w", node.attrs.get("pad", 0))
+    ceil = node.attrs.get("ceil_mode", True)
+    mode = node.attrs.get("pool", "MAX")
+
+    oh, extra_h = _pool_padding(h, kh, sh, ph, ceil)
+    ow, extra_w = _pool_padding(w, kw, sw, pw, ceil)
+    pad_cfg = ((0, 0), (ph, ph + extra_h), (pw, pw + extra_w), (0, 0))
+
+    if mode == "MAX":
+        neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) \
+            else jnp.iinfo(x.dtype).min
+        y = jax.lax.reduce_window(
+            x, neg, jax.lax.max,
+            window_dimensions=(1, kh, kw, 1),
+            window_strides=(1, sh, sw, 1),
+            padding=pad_cfg,
+        )
+        return [y]
+
+    # AVE: sum over the window (pad contributes zeros), divide by the
+    # window size clipped to the padded extent [0, size + pad) — exactly
+    # Caffe's pool_size computation.
+    y = jax.lax.reduce_window(
+        x.astype(jnp.float32), 0.0, jax.lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=pad_cfg,
+    )
+
+    def counts(size, k, s, p, out):
+        starts = np.arange(out) * s - p
+        ends = np.minimum(starts + k, size + p)
+        return (ends - starts).astype(np.float32)
+
+    ch = counts(h, kh, sh, ph, oh)
+    cw = counts(w, kw, sw, pw, ow)
+    denom = jnp.asarray(np.outer(ch, cw))[None, :, :, None]
+    return [(y / denom).astype(x.dtype)]
+
+
+# ----------------------------------------------------------------------
+# Elementwise / shape ops
+# ----------------------------------------------------------------------
+
+@register_lowering("ReLU")
+def _lower_relu(node, inputs, params, ctx):
+    slope = node.attrs.get("negative_slope", 0.0)
+    x = inputs[0]
+    if slope:
+        return [jnp.where(x > 0, x, x * jnp.asarray(slope, x.dtype))]
+    return [jnp.maximum(x, 0)]
+
+
+@register_lowering("ReLU6")
+def _lower_relu6(node, inputs, params, ctx):
+    return [jnp.clip(inputs[0], 0, 6)]
+
+
+@register_lowering("PReLU")
+def _lower_prelu(node, inputs, params, ctx):
+    x = inputs[0]
+    slope = params[0].astype(x.dtype)  # (C,) or scalar (channel_shared)
+    return [jnp.where(x > 0, x, x * slope)]
+
+
+@register_lowering("Sigmoid")
+def _lower_sigmoid(node, inputs, params, ctx):
+    return [jax.nn.sigmoid(inputs[0])]
+
+
+@register_lowering("TanH")
+def _lower_tanh(node, inputs, params, ctx):
+    return [jnp.tanh(inputs[0])]
+
+
+@register_lowering("ELU")
+def _lower_elu(node, inputs, params, ctx):
+    alpha = node.attrs.get("alpha", 1.0)
+    return [jax.nn.elu(inputs[0], alpha=alpha)]
+
+
+@register_lowering("AbsVal")
+def _lower_abs(node, inputs, params, ctx):
+    return [jnp.abs(inputs[0])]
+
+
+@register_lowering("Exp")
+def _lower_exp(node, inputs, params, ctx):
+    return [jnp.exp(inputs[0])]
+
+
+@register_lowering("Log")
+def _lower_log(node, inputs, params, ctx):
+    return [jnp.log(inputs[0])]
+
+
+@register_lowering("BNLL")
+def _lower_bnll(node, inputs, params, ctx):
+    return [jax.nn.softplus(inputs[0])]
+
+
+@register_lowering("Power")
+def _lower_power(node, inputs, params, ctx):
+    a = node.attrs
+    x = inputs[0]
+    y = x * a.get("scale", 1.0) + a.get("shift", 0.0)
+    p = a.get("power", 1.0)
+    if p != 1.0:
+        y = jnp.power(y, p)
+    return [y]
+
+
+@register_lowering("Scale")
+def _lower_scale(node, inputs, params, ctx):
+    """Standalone per-channel affine (un-folded Scale/BatchNorm)."""
+    x = inputs[0]
+    gamma = params[0].astype(x.dtype)
+    y = x * gamma
+    if node.attrs.get("bias_term", False) and len(params) > 1:
+        y = y + params[1].astype(x.dtype)
+    return [apply_activation(y, node.attrs.get("activation"))]
+
+
+@register_lowering("Bias")
+def _lower_bias(node, inputs, params, ctx):
+    x = inputs[0]
+    b = params[0] if params else inputs[1]
+    return [x + b.astype(x.dtype)]
+
+
+@register_lowering("BatchNorm")
+def _lower_bn(node, inputs, params, ctx):
+    """Inference BN with stored stats; normally rewritten by passes, kept
+    for un-optimized graph execution (the oracle path)."""
+    x = inputs[0]
+    mean, var = params[0], params[1]
+    eps = node.attrs.get("eps", 1e-5)
+    inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+    y = (x.astype(jnp.float32) - mean.astype(jnp.float32)) * inv
+    return [y.astype(x.dtype)]
+
+
+@register_lowering("Eltwise")
+def _lower_eltwise(node, inputs, params, ctx):
+    op = node.attrs.get("operation", "SUM")
+    if op == "SUM":
+        coeffs = node.attrs.get("coeffs")
+        if coeffs:
+            y = sum(c * x for c, x in zip(coeffs, inputs))
+        else:
+            y = inputs[0]
+            for x in inputs[1:]:
+                y = y + x
+    elif op == "PROD":
+        y = inputs[0]
+        for x in inputs[1:]:
+            y = y * x
+    elif op == "MAX":
+        y = inputs[0]
+        for x in inputs[1:]:
+            y = jnp.maximum(y, x)
+    else:
+        raise ValueError(f"unknown Eltwise operation {op!r}")
+    return [apply_activation(y, node.attrs.get("activation"))]
+
+
+@register_lowering("Concat")
+def _lower_concat(node, inputs, params, ctx):
+    axis = node.attrs.get("axis", -1)
+    return [jnp.concatenate(inputs, axis=axis)]
+
+
+@register_lowering("Slice")
+def _lower_slice(node, inputs, params, ctx):
+    x = inputs[0]
+    axis = node.attrs.get("axis", -1) % x.ndim
+    total = x.shape[axis]
+    points = list(node.attrs.get("slice_points", []))
+    if not points:
+        k = len(node.outputs)
+        points = [total // k * i for i in range(1, k)]
+    return list(jnp.split(x, points, axis=axis))
+
+
+@register_lowering("Softmax")
+def _lower_softmax(node, inputs, params, ctx):
+    axis = node.attrs.get("axis", -1)
+    return [jax.nn.softmax(inputs[0].astype(jnp.float32), axis=axis)
+            .astype(inputs[0].dtype)]
+
+
+@register_lowering("LRN")
+def _lower_lrn(node, inputs, params, ctx):
+    """Local response normalization across channels (GoogLeNet/AlexNet).
+    y = x / (k + alpha/n * sum_{local} x^2)^beta — channel axis is last."""
+    x = inputs[0].astype(jnp.float32)
+    n = node.attrs.get("local_size", 5)
+    alpha = node.attrs.get("alpha", 1e-4)
+    beta = node.attrs.get("beta", 0.75)
+    k = node.attrs.get("k", 1.0)
+    sq = x * x
+    half = n // 2
+    # Sliding-window sum over the channel axis via reduce_window.
+    ssum = jax.lax.reduce_window(
+        sq, 0.0, jax.lax.add,
+        window_dimensions=(1,) * (x.ndim - 1) + (n,),
+        window_strides=(1,) * x.ndim,
+        padding=((0, 0),) * (x.ndim - 1) + ((half, n - 1 - half),),
+    )
+    y = x * jax.lax.pow(k + (alpha / n) * ssum, -beta)
+    return [y.astype(inputs[0].dtype)]
+
+
+@register_lowering("Flatten")
+def _lower_flatten(node, inputs, params, ctx):
+    x = inputs[0]
+    return [x.reshape(x.shape[0], -1)]
+
+
+@register_lowering("Reshape")
+def _lower_reshape(node, inputs, params, ctx):
+    shape = list(node.attrs["shape"])
+    return [inputs[0].reshape(shape)]
+
+
+@register_lowering("Dropout")
+def _lower_dropout(node, inputs, params, ctx):
+    return [inputs[0]]
+
+
+@register_lowering("Split")
+def _lower_split(node, inputs, params, ctx):
+    return [inputs[0] for _ in node.outputs]

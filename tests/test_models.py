@@ -1,0 +1,75 @@
+"""Model-level integration tests (SURVEY.md §4 item 3): every BASELINE
+config builds, optimizes, and runs; fused output matches the unfused oracle."""
+
+import numpy as np
+import pytest
+
+from feathercnn_tpu import Engine, EngineConfig
+from feathercnn_tpu.models import MODEL_BUILDERS
+
+EXPECTED_OUT = {
+    "squeezenet_v11": (1, 1, 1, 1000),
+    "mobilenet_v1": (1, 1000),
+    "vgg16": (1, 1000),
+    "resnet50": (1, 1000),
+    "googlenet": (1, 1000),
+}
+
+# vgg16 is slow on the CPU test backend; covered by test_vgg_like_small and
+# the TPU bench instead.
+FAST_MODELS = ["squeezenet_v11", "mobilenet_v1", "resnet50", "googlenet"]
+
+
+@pytest.mark.parametrize("name", FAST_MODELS)
+def test_model_forward_and_fusion_equivalence(name, rng):
+    g = MODEL_BUILDERS[name]()
+    eng = Engine(g)
+    spec = next(iter(g.inputs.values()))
+    x = rng.normal(size=spec.shape).astype(np.float32)
+    out = np.asarray(eng(x))
+    assert out.shape == EXPECTED_OUT[name]
+    # softmax output: valid distribution
+    np.testing.assert_allclose(out.sum(), 1.0, rtol=1e-4)
+    assert (out >= 0).all()
+
+    raw = np.asarray(Engine(g, optimize_graph=False)(x))
+    np.testing.assert_allclose(out, raw, rtol=1e-3, atol=1e-5)
+
+
+def test_vgg_like_small(rng):
+    """VGG-16 structure at reduced spatial size (fast CPU proxy)."""
+    from feathercnn_tpu.models.builder import GraphBuilder
+    b = GraphBuilder("mini_vgg", seed=11)
+    x = b.input("data", (2, 32, 32, 3))
+    for stage, ch in [(1, 16), (2, 32)]:
+        for i in (1, 2):
+            x = b.conv(f"conv{stage}_{i}", x, ch, 3, pad=1, relu=True)
+        x = b.pool(f"pool{stage}", x, 2, 2)
+    x = b.fc("fc", x, 10, relu=True)
+    x = b.softmax("prob", x)
+    g = b.finish([x])
+    xv = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    out = np.asarray(Engine(g)(xv))
+    raw = np.asarray(Engine(g, optimize_graph=False)(xv))
+    assert out.shape == (2, 10)
+    np.testing.assert_allclose(out, raw, rtol=1e-4, atol=1e-6)
+
+
+def test_extract_intermediate(rng):
+    g = MODEL_BUILDERS["squeezenet_v11"]()
+    eng = Engine(g)
+    x = rng.normal(size=(1, 227, 227, 3)).astype(np.float32)
+    outs = eng.extract(x, ["conv1"])
+    assert outs["conv1"].shape == eng.blob_shape("conv1")
+    # fused epilogue: extracted conv1 activation is post-ReLU
+    assert float(np.asarray(outs["conv1"]).min()) >= 0.0
+
+
+def test_batch_dimension(rng):
+    g = MODEL_BUILDERS["squeezenet_v11"](batch=4)
+    eng = Engine(g)
+    x = rng.normal(size=(4, 227, 227, 3)).astype(np.float32)
+    out = np.asarray(eng(x))
+    assert out.shape == (4, 1, 1, 1000)
+    np.testing.assert_allclose(out.sum(axis=-1), np.ones((4, 1, 1)),
+                               rtol=1e-4)

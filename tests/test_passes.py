@@ -1,0 +1,128 @@
+"""Fusion/fold pass tests: graph-before vs graph-after numerical equivalence
+on random weights (SURVEY.md §4 item 2)."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from feathercnn_tpu import Engine, EngineConfig
+from feathercnn_tpu.models.builder import GraphBuilder
+from feathercnn_tpu.passes import optimize
+
+
+def _run_both(graph, x, **cfg):
+    opt = Engine(graph, EngineConfig(**cfg), optimize_graph=True)
+    raw = Engine(graph, EngineConfig(**cfg), optimize_graph=False)
+    return opt(x), raw(x), opt
+
+
+def test_conv_bn_scale_relu_folds_to_one_node(rng):
+    b = GraphBuilder("t", seed=3)
+    x = b.input("data", (2, 8, 8, 3))
+    y = b.conv("conv", x, 8, 3, pad=1, bias=True)
+    y = b.bn_scale("bnsc", y)
+    y = b.relu("relu", y)
+    g = b.finish([y])
+
+    xv = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    out_opt, out_raw, eng = _run_both(g, xv)
+    assert len(eng.graph.nodes) == 1
+    node = eng.graph.nodes[0]
+    assert node.op == "Convolution"
+    assert node.attrs["activation"] == "relu"
+    np.testing.assert_allclose(np.asarray(out_opt), np.asarray(out_raw),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bn_fold_into_biasless_conv_creates_bias(rng):
+    b = GraphBuilder("t", seed=4)
+    x = b.input("data", (1, 6, 6, 4))
+    y = b.conv("conv", x, 6, 1, bias=False)
+    y = b.batchnorm("bn", y)
+    g = b.finish([y])
+    xv = rng.normal(size=(1, 6, 6, 4)).astype(np.float32)
+    out_opt, out_raw, eng = _run_both(g, xv)
+    assert [n.op for n in eng.graph.nodes] == ["Convolution"]
+    assert eng.graph.nodes[0].attrs["bias_term"] is True
+    np.testing.assert_allclose(np.asarray(out_opt), np.asarray(out_raw),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bn_fold_into_fc(rng):
+    b = GraphBuilder("t", seed=5)
+    x = b.input("data", (3, 10))
+    b.graph.inputs["data"] = b.graph.inputs["data"]
+    y = b.fc("fc", x, 7)
+    y = b.batchnorm("bn", y)
+    y = b.relu("relu", y)
+    g = b.finish([y])
+    xv = rng.normal(size=(3, 10)).astype(np.float32)
+    out_opt, out_raw, eng = _run_both(g, xv)
+    assert [n.op for n in eng.graph.nodes] == ["InnerProduct"]
+    np.testing.assert_allclose(np.asarray(out_opt), np.asarray(out_raw),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_standalone_bn_becomes_scale(rng):
+    """BN after Eltwise can't fold into a conv — canonicalizes to Scale."""
+    b = GraphBuilder("t", seed=6)
+    x = b.input("data", (1, 4, 4, 3))
+    y1 = b.conv("c1", x, 3, 1)
+    y2 = b.conv("c2", x, 3, 1)
+    s = b.eltwise("add", [y1, y2])
+    y = b.batchnorm("bn", s)
+    g = b.finish([y])
+    xv = rng.normal(size=(1, 4, 4, 3)).astype(np.float32)
+    out_opt, out_raw, eng = _run_both(g, xv)
+    ops = [n.op for n in eng.graph.nodes]
+    assert "BatchNorm" not in ops
+    assert "Scale" in ops
+    np.testing.assert_allclose(np.asarray(out_opt), np.asarray(out_raw),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_relu_not_fused_when_conv_output_is_multiconsumer(rng):
+    """Conv feeding both a ReLU and a shortcut must NOT fuse the ReLU."""
+    b = GraphBuilder("t", seed=7)
+    x = b.input("data", (1, 4, 4, 3))
+    y = b.conv("conv", x, 3, 1)
+    r = b.relu("relu", y)
+    s = b.eltwise("add", [y, r])
+    g = b.finish([s])
+    xv = rng.normal(size=(1, 4, 4, 3)).astype(np.float32)
+    out_opt, out_raw, eng = _run_both(g, xv)
+    ops = [n.op for n in eng.graph.nodes]
+    assert ops.count("ReLU") == 1
+    np.testing.assert_allclose(np.asarray(out_opt), np.asarray(out_raw),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dropout_and_dce(rng):
+    b = GraphBuilder("t", seed=8)
+    x = b.input("data", (1, 4, 4, 3))
+    y = b.conv("conv", x, 3, 1)
+    d = b.dropout("drop", y)
+    dead = b.conv("dead", d, 5, 1)  # unused
+    g = b.finish([d])
+    g2 = copy.deepcopy(g)
+    optimize(g2)
+    names = [n.name for n in g2.nodes]
+    assert "drop" not in names and "dead" not in names
+    assert "dead/w" not in g2.params
+
+
+def test_eltwise_relu_fusion(rng):
+    b = GraphBuilder("t", seed=9)
+    x = b.input("data", (1, 4, 4, 3))
+    y1 = b.conv("c1", x, 3, 1)
+    y2 = b.conv("c2", x, 3, 1)
+    s = b.eltwise("add", [y1, y2])
+    r = b.relu("relu", s)
+    g = b.finish([r])
+    xv = rng.normal(size=(1, 4, 4, 3)).astype(np.float32)
+    out_opt, out_raw, eng = _run_both(g, xv)
+    elt = [n for n in eng.graph.nodes if n.op == "Eltwise"][0]
+    assert elt.attrs["activation"] == "relu"
+    np.testing.assert_allclose(np.asarray(out_opt), np.asarray(out_raw),
+                               rtol=1e-5, atol=1e-6)
