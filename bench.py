@@ -1,0 +1,172 @@
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+Headline: ResNet-50 images/sec/chip (the BASELINE.json north-star config),
+with ``vs_baseline`` = fraction of the chip's roofline images/s computed
+from the model's actual conv/FC FLOPs and the device's peak — the
+"speed-of-light fraction" BASELINE.json:5 requires (target >= 0.90).
+
+Extra per-model details go to stderr; stdout carries exactly one JSON line.
+Usage: python bench.py [--model resnet50] [--batch N] [--dtype bfloat16]
+                       [--backend xla|pallas] [--quant w8|w8a8] [--all]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# Peak TFLOP/s per chip by device kind (dense).  bf16 / int8.
+_PEAKS = {
+    # TPU v5 lite (v5e): 197 bf16 TFLOPs, 394 int8 TOPS
+    "v5 lite": (197e12, 394e12),
+    "v5litepod": (197e12, 394e12),
+    "v5e": (197e12, 394e12),
+    # TPU v5p: 459 bf16, 918 int8
+    "v5p": (459e12, 918e12),
+    # TPU v4
+    "v4": (275e12, 275e12),
+    # fallback: CPU or unknown — use 1 TFLOP so the fraction is tiny but defined
+    "cpu": (1e12, 1e12),
+}
+
+
+def device_peak_flops(int8: bool) -> float:
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for key, (bf16_peak, int8_peak) in _PEAKS.items():
+        if key in kind:
+            return int8_peak if int8 else bf16_peak
+    return _PEAKS["cpu"][1 if int8 else 0]
+
+
+def graph_flops(graph) -> float:
+    """MAC*2 FLOPs of all conv/FC nodes (the MXU work)."""
+    total = 0.0
+    for n in graph.nodes:
+        spec = graph.specs[n.outputs[0]]
+        if n.op == "Convolution":
+            kh = n.attrs.get("kernel_h", n.attrs.get("kernel_size", 1))
+            kw = n.attrs.get("kernel_w", n.attrs.get("kernel_size", 1))
+            group = n.attrs.get("group", 1)
+            cin = graph.specs[n.inputs[0]].shape[-1]
+            _, oh, ow, co = spec.shape
+            total += 2.0 * oh * ow * co * kh * kw * (cin / group)
+        elif n.op == "InnerProduct":
+            w = graph.params[n.params[0]]
+            total += 2.0 * w.shape[0] * w.shape[1]
+    return total  # per image (batch handled by caller)
+
+
+def bench_model(name: str, batch: int, dtype: str, backend: str,
+                quant, iters: int = 30, warmup: int = 5):
+    """Times `iters` forward passes *inside one jitted device loop*.
+
+    Two quirks of the axon-tunnel TPU make naive host-side loops lie:
+    ``block_until_ready`` returns without waiting, and each dispatch costs
+    ~1.5 ms of RPC.  So the timed region is a single ``lax.fori_loop``
+    whose body runs the forward on an iteration-perturbed input (defeats
+    LICM/CSE) and accumulates one output scalar; the final ``float(...)``
+    fetch is the only true synchronization point.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from feathercnn_tpu import Engine, EngineConfig
+    from feathercnn_tpu.models import MODEL_BUILDERS
+
+    g = MODEL_BUILDERS[name](batch=batch, with_softmax=False)
+    cfg = EngineConfig(compute_dtype=dtype, backend=backend, quant=quant)
+    eng = Engine(g, cfg)
+    spec = next(iter(g.inputs.values()))
+    x = np.random.default_rng(0).normal(size=spec.shape).astype(np.float32)
+
+    fwd = eng._build_forward()
+    params = eng._prepare_params()
+    first_out = eng.graph.outputs[0]
+    (in_name,) = eng.graph.inputs
+
+    @jax.jit
+    def loop(params, x, n):
+        def body(i, carry):
+            xi = x + jnp.asarray(i, x.dtype) * jnp.asarray(1e-6, x.dtype)
+            out = fwd(params, {in_name: xi})
+            return carry + out[first_out].ravel()[0].astype(jnp.float32)
+        # traced bound -> one executable for any iteration count
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    xd = jax.device_put(jnp.asarray(x))
+    t0 = time.time()
+    float(loop(params, xd, jnp.int32(warmup)))  # compile+warmup, fetch-synced
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    float(loop(params, xd, jnp.int32(iters)))
+    dt = (time.time() - t0) / iters
+
+    imgs_per_s = batch / dt
+    flops = graph_flops(eng.graph) * batch
+    achieved = flops / dt
+    peak = device_peak_flops(int8=(quant == "w8a8"))
+    roofline_imgs = peak / (flops / batch)
+    return {
+        "model": name,
+        "batch": batch,
+        "ms_per_batch": dt * 1e3,
+        "images_per_s": imgs_per_s,
+        "compile_s": compile_s,
+        "achieved_tflops": achieved / 1e12,
+        "roofline_fraction": achieved / peak,
+        "roofline_images_per_s": roofline_imgs,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="resnet50")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--backend", default="xla")
+    ap.add_argument("--quant", default=None)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--all", action="store_true",
+                    help="bench every zoo model (details to stderr)")
+    args = ap.parse_args()
+
+    import jax
+    log(f"devices: {jax.devices()}")
+
+    if args.all:
+        from feathercnn_tpu.models import MODEL_BUILDERS
+        for name in MODEL_BUILDERS:
+            try:
+                r = bench_model(name, args.batch, args.dtype, args.backend,
+                                args.quant, iters=args.iters)
+                log(f"{name:16s} batch={r['batch']:3d} "
+                    f"{r['ms_per_batch']:8.2f} ms  "
+                    f"{r['images_per_s']:9.1f} img/s  "
+                    f"{r['achieved_tflops']:6.1f} TF/s  "
+                    f"SoL {r['roofline_fraction']*100:5.1f}%")
+            except Exception as e:
+                log(f"{name:16s} FAILED: {type(e).__name__}: {e}")
+
+    r = bench_model(args.model, args.batch, args.dtype, args.backend,
+                    args.quant, iters=args.iters)
+    log(json.dumps(r, indent=2))
+    print(json.dumps({
+        "metric": f"{args.model} {'int8' if args.quant == 'w8a8' else args.dtype} images/sec/chip",
+        "value": round(r["images_per_s"], 1),
+        "unit": "images/s",
+        "vs_baseline": round(r["roofline_fraction"], 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,10 @@ class Engine:
         self.graph.validate()
         self._device_params: Optional[Dict[str, jax.Array]] = None
         self._jitted: Dict[tuple, Any] = {}
+        self._mesh = None
+        if self.config.sharding is not None:
+            from .parallel.mesh import build_mesh
+            self._mesh = build_mesh(self.config.sharding)
 
     # ------------------------------------------------------------------
     @property
@@ -74,6 +78,11 @@ class Engine:
         if self._device_params is not None:
             return self._device_params
         cdtype = jnp.dtype(self.config.compute_dtype)
+        shardings = None
+        if self._mesh is not None:
+            from .parallel.mesh import param_shardings
+            shardings = param_shardings(self.graph, self._mesh,
+                                        self.config.sharding)
         out: Dict[str, jax.Array] = {}
         weight_names = set()
         for n in self.graph.nodes:
@@ -83,7 +92,9 @@ class Engine:
             arr = np.asarray(v)
             if (k in weight_names and arr.dtype == np.float32
                     and cdtype != jnp.float32):
-                out[k] = jax.device_put(arr.astype(cdtype))
+                arr = arr.astype(cdtype)
+            if shardings is not None:
+                out[k] = jax.device_put(arr, shardings[k])
             else:
                 out[k] = jax.device_put(arr)
         self._device_params = out
@@ -147,6 +158,12 @@ class Engine:
             (name,) = self.graph.inputs
             inputs = {name: inputs}
         inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+        if self._mesh is not None:
+            from .parallel.mesh import input_shardings
+            ishard = input_shardings(self.graph, self._mesh,
+                                     self.config.sharding)
+            inputs = {k: jax.device_put(v, ishard.get(k))
+                      if k in ishard else v for k, v in inputs.items()}
         for name, x in inputs.items():
             spec = self.graph.inputs.get(name)
             if spec is None:
