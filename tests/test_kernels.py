@@ -1,0 +1,96 @@
+"""Pallas kernel unit tests vs jnp reference ops (SURVEY.md §4 item 1).
+
+Run in interpret mode on the CPU backend so CI needs no TPU — the analog
+of the reference's AVX tree as a desktop test vehicle.  Tolerances tiered
+by dtype: f32 1e-5, bf16 1e-2, int8 exact pre-dequant.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from feathercnn_tpu.kernels.matmul import matmul_epilogue
+
+
+def _quant_w(w):
+    ws = np.abs(w).max(axis=0) / 127.0
+    wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
+    return wq, ws.astype(np.float32)
+
+
+@pytest.mark.parametrize("shape", [(64, 64, 64), (200, 300, 170),
+                                   (1, 131, 1000), (257, 128, 129)])
+def test_matmul_f32_bias_relu(shape, rng):
+    M, K, N = shape
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    b = rng.normal(size=(N,)).astype(np.float32)
+    y = matmul_epilogue(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                        activation="relu", interpret=True)
+    ref = np.maximum(x @ w + b, 0)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_matmul_bf16(rng):
+    M, K, N = 128, 256, 192
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    y = matmul_epilogue(jnp.asarray(x, jnp.bfloat16),
+                        jnp.asarray(w, jnp.bfloat16), interpret=True)
+    ref = x.astype(np.float32) @ w
+    rel = np.abs(np.asarray(y, np.float32) - ref).max() / np.abs(ref).max()
+    assert rel < 1e-2
+
+
+def test_matmul_weight_only_int8(rng):
+    M, K, N = 96, 160, 130
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    b = rng.normal(size=(N,)).astype(np.float32)
+    wq, ws = _quant_w(w)
+    y = matmul_epilogue(jnp.asarray(x), jnp.asarray(wq), jnp.asarray(b),
+                        w_scale=jnp.asarray(ws), activation="relu6",
+                        interpret=True)
+    ref = np.clip(x @ (wq.astype(np.float32) * ws) + b, 0, 6)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_matmul_full_int8_float_out(rng):
+    M, K, N = 64, 96, 72
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    wq, ws = _quant_w(w)
+    xs = float(np.abs(x).max() / 127.0)
+    xq = np.clip(np.round(x / xs), -127, 127).astype(np.int8)
+    y = matmul_epilogue(jnp.asarray(xq), jnp.asarray(wq),
+                        w_scale=jnp.asarray(ws), x_scale=xs,
+                        out_dtype=jnp.float32, interpret=True)
+    ref = (xq.astype(np.int32) @ wq.astype(np.int32)).astype(np.float32) \
+        * (ws * xs)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_matmul_full_int8_requant_exact(rng):
+    """int8-in int8-out must match the integer reference bit-exactly."""
+    M, K, N = 64, 128, 64
+    xq = rng.integers(-127, 128, size=(M, K)).astype(np.int8)
+    wq = rng.integers(-127, 128, size=(K, N)).astype(np.int8)
+    ws = (rng.random(N).astype(np.float32) + 0.5) * 1e-2
+    xs, os = 3e-2, 0.7
+    y = matmul_epilogue(jnp.asarray(xq), jnp.asarray(wq),
+                        w_scale=jnp.asarray(ws), x_scale=xs,
+                        out_dtype=jnp.int8, out_scale=os,
+                        activation="relu", interpret=True)
+    acc = (xq.astype(np.int32) @ wq.astype(np.int32)).astype(np.float32)
+    ref = np.clip(np.round(np.maximum(acc * ws * xs, 0) * os), -127, 127)
+    assert (np.asarray(y) == ref.astype(np.int8)).mean() > 0.999
+
+
+def test_matmul_no_bias_matches(rng):
+    """Regression: dummy epilogue vectors must span all N blocks (an
+    undersized dummy read out-of-range blocks and hung real hardware)."""
+    M, K, N = 64, 64, 2048  # many n-blocks with bn=1024 default
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    y = matmul_epilogue(jnp.asarray(x), jnp.asarray(w), interpret=True)
+    np.testing.assert_allclose(np.asarray(y), x @ w, rtol=1e-5, atol=1e-5)
