@@ -65,7 +65,7 @@ def graph_flops(graph) -> float:
 
 
 def bench_model(name: str, batch: int, dtype: str, backend: str,
-                quant, iters: int = 30, warmup: int = 5):
+                quant, iters: int = 30, warmup: int = 5, algo=None):
     """Times `iters` forward passes *inside one jitted device loop*.
 
     Two quirks of the axon-tunnel TPU make naive host-side loops lie:
@@ -83,7 +83,16 @@ def bench_model(name: str, batch: int, dtype: str, backend: str,
     from feathercnn_tpu.models import MODEL_BUILDERS
 
     g = MODEL_BUILDERS[name](batch=batch, with_softmax=False)
-    cfg = EngineConfig(compute_dtype=dtype, backend=backend, quant=quant)
+    if quant == "w8a8":
+        from feathercnn_tpu.quant import calibrate
+        rng = np.random.default_rng(1)
+        spec0 = next(iter(g.inputs.values()))
+        cal = [rng.normal(size=spec0.shape).astype(np.float32)
+               for _ in range(2)]
+        calibrate(g, cal, method="max",
+                  config=EngineConfig(compute_dtype=dtype))
+    cfg = EngineConfig(compute_dtype=dtype, backend=backend, quant=quant,
+                       algo_overrides=((("*", algo),) if algo else ()))
     eng = Engine(g, cfg)
     spec = next(iter(g.inputs.values()))
     x = np.random.default_rng(0).normal(size=spec.shape).astype(np.float32)
@@ -135,6 +144,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--backend", default="xla")
     ap.add_argument("--quant", default=None)
+    ap.add_argument("--algo", default=None,
+                    help="force one conv algo for every layer (xla|gemm1x1|implicit)")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--all", action="store_true",
                     help="bench every zoo model (details to stderr)")
@@ -158,7 +169,7 @@ def main():
                 log(f"{name:16s} FAILED: {type(e).__name__}: {e}")
 
     r = bench_model(args.model, args.batch, args.dtype, args.backend,
-                    args.quant, iters=args.iters)
+                    args.quant, iters=args.iters, algo=args.algo)
     log(json.dumps(r, indent=2))
     print(json.dumps({
         "metric": f"{args.model} {'int8' if args.quant == 'w8a8' else args.dtype} images/sec/chip",

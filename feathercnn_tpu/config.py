@@ -42,7 +42,8 @@ class EngineConfig:
     interpret: bool = False
 
     def algo_for(self, layer_name: str) -> Optional[str]:
-        return dict(self.algo_overrides).get(layer_name)
+        d = dict(self.algo_overrides)
+        return d.get(layer_name, d.get("*"))
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)

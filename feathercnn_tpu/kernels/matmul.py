@@ -115,6 +115,12 @@ def matmul_epilogue(x: jnp.ndarray, w: jnp.ndarray,
     w_quant = w_scale is not None
     has_bias = bias is not None
 
+    # Thin-K fat-M problems (1x1 convs flattened to GEMM: K=C small,
+    # M=N*H*W huge) want much taller M blocks — grid-step overhead
+    # otherwise dominates the tiny per-step matmul.
+    if K <= 512 and M >= 8 * bm:
+        bm, bn = 2048, 256
+
     # Clamp block sizes to the (padded) problem and hardware minima.
     min_tile = 32 if jnp.int8 in (x.dtype, w.dtype) else (
         16 if x.dtype == jnp.bfloat16 else 8)

@@ -1,0 +1,88 @@
+"""Quantization tests: scheme round-trip, calibration, int8-edge pass,
+end-to-end accuracy vs the FP oracle (SURVEY.md §4 item 4)."""
+
+import numpy as np
+import pytest
+
+from feathercnn_tpu import Engine, EngineConfig
+from feathercnn_tpu.models import squeezenet_v11
+from feathercnn_tpu.models.builder import GraphBuilder
+from feathercnn_tpu.quant import calibrate, quantize_weight_per_channel
+
+
+def _cosine(a, b):
+    a, b = a.ravel(), b.ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def test_weight_quant_roundtrip(rng):
+    w = rng.normal(size=(3, 3, 16, 32)).astype(np.float32)
+    q, s = quantize_weight_per_channel(w)
+    assert q.dtype == np.int8 and s.shape == (32,)
+    deq = q.astype(np.float32) * s
+    rel = np.abs(deq - w).max() / np.abs(w).max()
+    assert rel < 1e-2  # 8-bit per-channel: <=1/254 of channel max
+
+
+def _mini_convnet(seed=21):
+    b = GraphBuilder("mini", seed)
+    x = b.input("data", (2, 16, 16, 8))
+    y = b.conv("c1", x, 16, 3, pad=1, relu=True)
+    y = b.conv("c2", y, 32, 3, pad=1, relu=True)
+    y = b.conv("c3", y, 32, 1, relu=True)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 10)
+    return b.finish([y])
+
+
+@pytest.mark.parametrize("quant", ["w8", "w8a8"])
+def test_quant_e2e_accuracy(quant, rng):
+    g = _mini_convnet()
+    x = rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g)(x))
+    if quant == "w8a8":
+        calibrate(g, [rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
+                      for _ in range(3)], method="percentile")
+    eng = Engine(g, EngineConfig(backend="pallas", quant=quant,
+                                 interpret=True))
+    out = np.asarray(eng(x))
+    assert _cosine(ref, out) > 0.998
+    assert (ref.argmax(-1) == out.argmax(-1)).all()
+
+
+def test_int8_edges_marked_and_correct(rng):
+    g = _mini_convnet()
+    x = rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g)(x))
+    calibrate(g, [x], method="max")
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 interpret=True))
+    qm = eng.graph.meta["quant"]
+    # c1 -> c2 -> c3 chain: c1 and c2 feed exactly one quantized conv each
+    assert qm["c1"].get("emit_int8") is True
+    assert qm["c2"].get("emit_int8") is True
+    # c3 feeds pooling (not quantized): stays float out
+    assert not qm["c3"].get("emit_int8")
+    out = np.asarray(eng(x))
+    assert _cosine(ref, out) > 0.998
+
+
+def test_calibration_methods(rng):
+    g = _mini_convnet()
+    data = [rng.normal(size=(2, 16, 16, 8)).astype(np.float32)]
+    for method in ("max", "percentile", "mse"):
+        scales = calibrate(g, data, method=method)
+        assert scales and all(s > 0 for s in scales.values())
+    # percentile clips below max
+    smax = calibrate(g, data, method="max")
+    spct = calibrate(g, data, method="percentile", percentile=90.0)
+    assert spct["c2"] < smax["c2"]
+
+
+def test_w8_without_calibration_runs(rng):
+    """Weight-only mode must work with no act scales at all."""
+    g = _mini_convnet()
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8",
+                                 interpret=True))
+    out = eng(rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+    assert np.asarray(out).shape == (2, 10)
