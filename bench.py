@@ -84,13 +84,18 @@ def bench_model(name: str, batch: int, dtype: str, backend: str,
 
     g = MODEL_BUILDERS[name](batch=batch, with_softmax=False)
     if quant == "w8a8":
+        # Calibrate on a small-batch twin graph (same seed -> same weights;
+        # scales are batch-independent) so we don't compile the big batch
+        # twice.
         from feathercnn_tpu.quant import calibrate
+        g_cal = MODEL_BUILDERS[name](batch=8, with_softmax=False)
         rng = np.random.default_rng(1)
-        spec0 = next(iter(g.inputs.values()))
-        cal = [rng.normal(size=spec0.shape).astype(np.float32)
-               for _ in range(2)]
-        calibrate(g, cal, method="max",
+        spec0 = next(iter(g_cal.inputs.values()))
+        cal = [rng.normal(size=spec0.shape).astype(np.float32)]
+        calibrate(g_cal, cal, method="max",
                   config=EngineConfig(compute_dtype=dtype))
+        g.meta.update({k: g_cal.meta[k]
+                       for k in ("act_scales", "value_scales")})
     cfg = EngineConfig(compute_dtype=dtype, backend=backend, quant=quant,
                        algo_overrides=((("*", algo),) if algo else ()))
     eng = Engine(g, cfg)
@@ -139,17 +144,26 @@ def bench_model(name: str, batch: int, dtype: str, backend: str,
 
 def main():
     ap = argparse.ArgumentParser()
+    # Defaults = the headline BASELINE.json config: ResNet-50 full-INT8,
+    # batch sized to saturate the chip, XLA int8 convs + int8 edges
+    # (measured fastest; see BASELINE.md history).
     ap.add_argument("--model", default="resnet50")
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--backend", default="xla")
-    ap.add_argument("--quant", default=None)
-    ap.add_argument("--algo", default=None,
-                    help="force one conv algo for every layer (xla|gemm1x1|implicit)")
+    ap.add_argument("--backend", default="pallas")
+    ap.add_argument("--quant", default="w8a8",
+                    help="None|w8|w8a8 (pass 'none' for fp)")
+    ap.add_argument("--algo", default="xla",
+                    help="force one conv algo for every layer "
+                         "(xla|gemm1x1|implicit); 'none' = dispatcher picks")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--all", action="store_true",
                     help="bench every zoo model (details to stderr)")
     args = ap.parse_args()
+    if args.quant in ("none", "None"):
+        args.quant = None
+    if args.algo in ("none", "None"):
+        args.algo = None
 
     import jax
     log(f"devices: {jax.devices()}")
