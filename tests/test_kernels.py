@@ -28,7 +28,7 @@ def test_matmul_f32_bias_relu(shape, rng):
     y = matmul_epilogue(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
                         activation="relu", interpret=True)
     ref = np.maximum(x @ w + b, 0)
-    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=2e-5)
 
 
 def test_matmul_bf16(rng):
