@@ -1,0 +1,122 @@
+"""Distributed tests without a cluster (SURVEY.md §4 item 5): 8 virtual
+CPU devices via --xla_force_host_platform_device_count (conftest.py).
+SPMD invariance: every sharded path must match the single-device result.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from feathercnn_tpu import Engine, EngineConfig
+from feathercnn_tpu.parallel import ShardingConfig, build_mesh
+from feathercnn_tpu.parallel.spatial import spatial_conv2d
+from feathercnn_tpu.parallel.tp import (column_parallel_conv,
+                                        row_parallel_conv, tp_conv_pair)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return build_mesh(ShardingConfig(mesh_shape=(2, 4)))
+
+
+def _ref_conv(x, w, b=None, stride=1, pad=0):
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    return y if b is None else y + b
+
+
+def test_column_parallel_conv(mesh, rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 16, 32)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+    y = column_parallel_conv(mesh, "model", x, w, b, pad=1,
+                             gather_output=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(
+        _ref_conv(x, w, b, pad=1)), rtol=1e-5, atol=1e-5)
+
+
+def test_column_then_row_parallel(mesh, rng):
+    """Megatron pair: activations stay channel-sharded between the convs,
+    one psum at the end."""
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(1, 1, 16, 32)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(3, 3, 32, 24)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=(24,)).astype(np.float32))
+
+    y = tp_conv_pair(mesh, "model", x, w1, b1, w2, b2, pad2=1)
+    ref = _ref_conv(jnp.maximum(_ref_conv(x, w1, b1), 0), w2, b2, pad=1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_row_parallel_scatter(mesh, rng):
+    """psum_scatter keeps the output channel-sharded for the next layer."""
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(1, 1, 32, 16)).astype(np.float32))
+    y_sharded = row_parallel_conv(mesh, "model", x, w, scatter_output=True)
+    ref = _ref_conv(x, w)
+    np.testing.assert_allclose(np.asarray(y_sharded), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_halo_conv(mesh, rng):
+    """H-sharded conv with ppermute halo exchange == unsharded conv."""
+    x = jnp.asarray(rng.normal(size=(1, 16, 12, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 8, 8)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    y = spatial_conv2d(mesh, "model", x, w, b, pad=1, activation="relu")
+    ref = jnp.maximum(_ref_conv(x, w, b, pad=1), 0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_conv_5x5(mesh, rng):
+    x = jnp.asarray(rng.normal(size=(1, 16, 8, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(5, 5, 4, 4)).astype(np.float32))
+    y = spatial_conv2d(mesh, "model", x, w, pad=2)
+    ref = _ref_conv(x, w, pad=2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_engine_dp_tp_sharding(mesh, rng):
+    """Whole-engine run on a (2,4) mesh matches single-device (the
+    declarative GSPMD path of parallel/mesh.py)."""
+    from feathercnn_tpu.models.builder import GraphBuilder
+    b = GraphBuilder("net", seed=5)
+    x = b.input("data", (4, 8, 8, 8))
+    y = b.conv("c1", x, 32, 3, pad=1, relu=True)
+    y = b.conv("c2", y, 64, 1, relu=True)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 8)
+    g = b.finish([y])
+
+    xv = rng.normal(size=(4, 8, 8, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    eng = Engine(g, EngineConfig(sharding=ShardingConfig(mesh_shape=(2, 4))))
+    out = np.asarray(eng(xv))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_batch_sharding_layout(mesh, rng):
+    """DP: input batch is actually placed sharded across the data axis."""
+    from feathercnn_tpu.parallel import input_shardings
+    from feathercnn_tpu.models.builder import GraphBuilder
+    b = GraphBuilder("n", seed=6)
+    x = b.input("data", (8, 4, 4, 4))
+    y = b.conv("c", x, 8, 1)
+    g = b.finish([y])
+    cfg = ShardingConfig(mesh_shape=(2, 4))
+    shards = input_shardings(g, mesh, cfg)
+    arr = jax.device_put(np.zeros((8, 4, 4, 4), np.float32),
+                         shards["data"])
+    assert len(arr.addressable_shards) == 8
+    assert arr.addressable_shards[0].data.shape == (4, 4, 4, 4)
