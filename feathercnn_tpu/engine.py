@@ -54,6 +54,22 @@ class Engine:
             self._mesh = build_mesh(self.config.sharding)
 
     # ------------------------------------------------------------------
+    @classmethod
+    def from_path(cls, path: str, config: Optional[EngineConfig] = None,
+                  prefer_native: bool = True, **kw) -> "Engine":
+        """Net::InitFromPath analog: load a .ftpu model and build the
+        engine.  Uses the C++ mmap loader when built, else pure Python."""
+        graph = None
+        if prefer_native:
+            from . import native
+            if native.available():
+                graph = native.load_ftpu_native(path)
+        if graph is None:
+            from .model_format import load_ftpu
+            graph = load_ftpu(path)
+        return cls(graph, config, **kw)
+
+    # ------------------------------------------------------------------
     @property
     def input_names(self) -> List[str]:
         return list(self.graph.inputs)

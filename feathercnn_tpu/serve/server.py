@@ -1,0 +1,171 @@
+"""Continuous-batching inference server (BASELINE.json:5,11).
+
+The reference has no serving layer — callers hand single images to
+``Net::Forward`` ([pub] src/net.cpp).  This is the capability the rebuild
+adds: per-host ingest queues (C++ when built) feed a fixed-shape batch
+slot; a collector thread pads each collected batch to the compiled batch
+size (no recompiles — the XLA analog of the reference's pre-sized scratch
+pools), runs the engine, and scatters results back to callers.
+
+Failure handling (SURVEY.md §5): TPU slices are gang-scheduled, so
+recovery is restart-from-loaded-weights, not elastic resize.  The worker
+catches per-batch failures, re-enqueues the batch once, and marks the
+server unhealthy after repeated faults; a heartbeat thread exposes
+liveness + queue-depth gauges.
+
+Multi-host: every host runs this server over the same jit executable; the
+batch *plan* (how many real rows) must be identical on all hosts for SPMD,
+so plan agreement goes through ``broadcast_plan`` —
+``jax.experimental.multihost_utils`` when jax.process_count()>1, identity
+on one host.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..engine import Engine
+from .batcher import make_queue
+
+__all__ = ["InferenceServer"]
+
+
+def broadcast_plan(n_real: int) -> int:
+    """Agree on the batch plan across hosts (SPMD requires every host to
+    enter the same computation)."""
+    import jax
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return int(multihost_utils.broadcast_one_to_all(
+            np.asarray(n_real, np.int32)))
+    return n_real
+
+
+class InferenceServer:
+    def __init__(self, engine: Engine, batch_size: int = 32,
+                 batch_timeout_us: int = 2000, max_retries: int = 1,
+                 prefer_native_queue: bool = True):
+        self.engine = engine
+        self.batch_size = batch_size
+        self.batch_timeout_us = batch_timeout_us
+        self.max_retries = max_retries
+
+        (in_name,) = engine.graph.inputs
+        self._in_name = in_name
+        in_spec = engine.graph.inputs[in_name]
+        out_name = engine.graph.outputs[0]
+        out_shape = engine.graph.specs[out_name].shape
+        self._out_name = out_name
+        self._item_shape = tuple(in_spec.shape[1:])
+        self._result_shape = tuple(int(d) for d in out_shape[1:])
+
+        self.queue = make_queue(self._item_shape, np.float32,
+                                self._result_shape, np.float32,
+                                prefer_native=prefer_native_queue)
+
+        self._stop = threading.Event()
+        self._healthy = threading.Event()
+        self._healthy.set()
+        self._fault_count = 0
+        self._last_heartbeat = time.time()
+        self.metrics: Dict[str, Any] = {
+            "batches": 0, "images": 0, "pad_images": 0,
+            "batch_latency_ms_sum": 0.0, "faults": 0,
+        }
+        self._worker: Optional[threading.Thread] = None
+        self._heartbeat: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------------
+    def start(self) -> None:
+        # Compile the fixed batch slot up front (Init-phase discipline).
+        self.engine.compile(batch=self.batch_size)
+        self._worker = threading.Thread(target=self._serve_loop, daemon=True)
+        self._worker.start()
+        self._heartbeat = threading.Thread(target=self._heartbeat_loop,
+                                           daemon=True)
+        self._heartbeat.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.queue.close()
+        if self._worker:
+            self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------------
+    def infer(self, image: np.ndarray, timeout_s: float = 30.0
+              ) -> Optional[np.ndarray]:
+        """Client call: submit one image, block for its result."""
+        ticket = self.queue.submit(image.astype(np.float32))
+        if not ticket:
+            return None
+        return self.queue.wait_result(ticket, int(timeout_s * 1e6))
+
+    # ------------------------------------------------------------------
+    def _run_batch(self, batch: np.ndarray) -> np.ndarray:
+        n_real = broadcast_plan(batch.shape[0])
+        if n_real < self.batch_size:
+            pad = np.zeros((self.batch_size - n_real,) + self._item_shape,
+                           np.float32)
+            full = np.concatenate([batch[:n_real], pad])
+            self.metrics["pad_images"] += self.batch_size - n_real
+        else:
+            full = batch
+        out = self.engine.run({self._in_name: full})[self._out_name]
+        out = np.asarray(out, np.float32).reshape(self.batch_size, -1)
+        return out[:batch.shape[0]].reshape(
+            (batch.shape[0],) + self._result_shape)
+
+    def _serve_loop(self) -> None:
+        while not self._stop.is_set():
+            batch, tickets = self.queue.collect(self.batch_size,
+                                                self.batch_timeout_us)
+            if not tickets:
+                if self._stop.is_set():
+                    return
+                continue
+            t0 = time.time()
+            for attempt in range(self.max_retries + 1):
+                try:
+                    results = self._run_batch(batch)
+                    self.queue.post_results(tickets, results)
+                    self._fault_count = 0
+                    break
+                except Exception:
+                    self.metrics["faults"] += 1
+                    self._fault_count += 1
+                    if attempt == self.max_retries:
+                        # fail the tickets with NaNs rather than hang callers
+                        nanres = np.full(
+                            (len(tickets),) + self._result_shape, np.nan,
+                            np.float32)
+                        self.queue.post_results(tickets, nanres)
+                    if self._fault_count >= 3:
+                        self._healthy.clear()
+            self.metrics["batches"] += 1
+            self.metrics["images"] += len(tickets)
+            self.metrics["batch_latency_ms_sum"] += (time.time() - t0) * 1e3
+
+    def _heartbeat_loop(self) -> None:
+        while not self._stop.is_set():
+            self._last_heartbeat = time.time()
+            time.sleep(0.25)
+
+    # ------------------------------------------------------------------
+    def healthy(self) -> bool:
+        return (self._healthy.is_set()
+                and time.time() - self._last_heartbeat < 5.0)
+
+    def gauges(self) -> Dict[str, Any]:
+        m = dict(self.metrics)
+        m["queue_depth"] = self.queue.depth()
+        m["healthy"] = self.healthy()
+        if m["batches"]:
+            m["mean_batch_latency_ms"] = (m["batch_latency_ms_sum"]
+                                          / m["batches"])
+        if hasattr(self.queue, "stats"):
+            m["queue"] = self.queue.stats()
+        return m

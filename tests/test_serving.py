@@ -1,0 +1,94 @@
+"""Serving-layer tests: queue semantics (py + native), continuous batching
+end-to-end, padding correctness, fault handling."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from feathercnn_tpu import Engine, EngineConfig
+from feathercnn_tpu.models.builder import GraphBuilder
+from feathercnn_tpu.serve import InferenceServer, PyBatchQueue
+from feathercnn_tpu.serve.batcher import make_queue
+
+
+def _tiny_engine():
+    b = GraphBuilder("srv", seed=7)
+    x = b.input("data", (8, 8, 8, 3))
+    y = b.conv("c1", x, 8, 3, pad=1, relu=True)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 4)
+    g = b.finish([y])
+    return Engine(g)
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_queue_batching(native, rng):
+    q = make_queue((3,), np.float32, (2,), np.float32,
+                   prefer_native=native)
+    tickets = [q.submit(np.full(3, i, np.float32)) for i in range(5)]
+    assert q.depth() == 5
+    batch, got = q.collect(max_batch=3, timeout_us=1000)
+    assert len(got) == 3 and batch.shape == (3, 3)
+    q.post_results(got, np.stack([batch[:, 0], -batch[:, 0]], axis=1))
+    r = q.wait_result(got[1])
+    assert r is not None and r[0] == 1.0 and r[1] == -1.0
+    batch2, got2 = q.collect(max_batch=3, timeout_us=1000)
+    assert len(got2) == 2
+
+
+def test_server_end_to_end(rng):
+    eng = _tiny_engine()
+    srv = InferenceServer(eng, batch_size=8, batch_timeout_us=5000,
+                          prefer_native_queue=False)
+    srv.start()
+    try:
+        imgs = [rng.normal(size=(8, 8, 3)).astype(np.float32)
+                for _ in range(13)]
+        results = [None] * len(imgs)
+
+        def client(i):
+            results[i] = srv.infer(imgs[i], timeout_s=60)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(imgs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=90)
+
+        # every client got a result matching a direct engine call
+        direct = np.asarray(eng.run(
+            {"data": np.stack(imgs[:8])})[eng.output_names[0]])
+        for i in range(len(imgs)):
+            assert results[i] is not None, f"client {i} timed out"
+        np.testing.assert_allclose(results[0], direct[0].reshape(-1),
+                                   rtol=1e-4, atol=1e-5)
+        g = srv.gauges()
+        assert g["images"] == 13
+        assert g["healthy"]
+        # 13 images into batch-8 slots -> at least one padded batch
+        assert g["pad_images"] > 0
+    finally:
+        srv.stop()
+
+
+def test_server_fault_isolation(rng, monkeypatch):
+    """A failing batch must NaN-fail its tickets, not hang clients."""
+    eng = _tiny_engine()
+    srv = InferenceServer(eng, batch_size=4, batch_timeout_us=1000,
+                          max_retries=0, prefer_native_queue=False)
+
+    def boom(batch):
+        raise RuntimeError("injected fault")
+
+    srv._run_batch = boom
+    srv.start()
+    try:
+        out = srv.infer(rng.normal(size=(8, 8, 3)).astype(np.float32),
+                        timeout_s=30)
+        assert out is not None and np.isnan(out).all()
+        assert srv.metrics["faults"] >= 1
+    finally:
+        srv.stop()
