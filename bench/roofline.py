@@ -1,0 +1,167 @@
+"""Per-layer roofline report — the speed-of-light measurement obligation
+(BASELINE.json:5: "Measure per-chip speed-of-light on every dequant+conv
+kernel").
+
+For each conv/FC layer of a model: FLOPs, bytes moved, arithmetic
+intensity, the roofline bound (min(peak_flops, intensity*bw)), measured
+time per available algorithm (xla / gemm1x1 / implicit / winograd), and
+the achieved fraction of speed-of-light.  The measured table doubles as
+the input to algo auto-selection (kernels/dispatch.py overrides).
+
+Usage: python bench/roofline.py [--model resnet50] [--batch 128]
+       [--dtype bfloat16] [--quant w8a8] [--out roofline.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# v5e: 197 bf16 TFLOP/s, 394 int8 TOP/s, ~819 GB/s HBM
+PEAK_FLOPS = {"bfloat16": 197e12, "float32": 98.5e12, "int8": 394e12}
+HBM_BW = 819e9
+
+
+def layer_table(graph, quant):
+    """Static roofline per conv/FC layer."""
+    rows = []
+    for n in graph.nodes:
+        if n.op not in ("Convolution", "InnerProduct"):
+            continue
+        in_spec = graph.specs[n.inputs[0]]
+        out_spec = graph.specs[n.outputs[0]]
+        w = graph.params[n.params[0]]
+        if n.op == "Convolution":
+            kh = n.attrs.get("kernel_h", n.attrs.get("kernel_size", 1))
+            kw_ = n.attrs.get("kernel_w", n.attrs.get("kernel_size", 1))
+            group = n.attrs.get("group", 1)
+            _, oh, ow, co = out_spec.shape
+            nb = out_spec.shape[0]
+            cin = in_spec.shape[-1]
+            flops = 2.0 * nb * oh * ow * co * kh * kw_ * (cin / group)
+        else:
+            flops = 2.0 * out_spec.shape[0] * int(np.prod(w.shape))
+        act_bytes = 2  # bf16 edges
+        wbytes = w.size * (1 if quant else 2)
+        bytes_moved = (in_spec.size * act_bytes + out_spec.size * act_bytes
+                       + wbytes)
+        intensity = flops / bytes_moved
+        peak = PEAK_FLOPS["int8" if quant == "w8a8" else "bfloat16"]
+        bound = min(peak, intensity * HBM_BW)
+        rows.append({
+            "layer": n.name, "op": n.op,
+            "in": list(in_spec.shape), "out": list(out_spec.shape),
+            "kernel": [int(n.attrs.get("kernel_h",
+                                       n.attrs.get("kernel_size", 1))),
+                       int(n.attrs.get("kernel_w",
+                                       n.attrs.get("kernel_size", 1)))]
+            if n.op == "Convolution" else None,
+            "gflops": flops / 1e9,
+            "mbytes": bytes_moved / 1e6,
+            "intensity": intensity,
+            "roofline_tflops": bound / 1e12,
+        })
+    return rows
+
+
+def measure_algos(graph, rows, dtype, quant, iters=20):
+    """Time each layer's candidate algorithms in isolation."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from feathercnn_tpu.config import EngineConfig
+    from feathercnn_tpu.kernels import dispatch
+    from feathercnn_tpu.ops.lowering import LoweringCtx
+    from feathercnn_tpu.utils.timing import device_bench
+
+    node_map = {n.name: n for n in graph.nodes}
+    rng = np.random.default_rng(0)
+    for row in rows:
+        n = node_map[row["layer"]]
+        if n.op != "Convolution":
+            continue
+        in_spec = graph.specs[n.inputs[0]]
+        x = jnp.asarray(rng.normal(size=in_spec.shape),
+                        jnp.dtype(dtype))
+        w = jnp.asarray(graph.params[n.params[0]])
+        bias = (jnp.asarray(graph.params[n.params[1]])
+                if len(n.params) > 1 else None)
+        kh = n.attrs.get("kernel_h", n.attrs.get("kernel_size", 1))
+        group = n.attrs.get("group", 1)
+        candidates = ["xla"]
+        if group == 1:
+            if kh == 1:
+                candidates.append("gemm1x1")
+            else:
+                candidates.append("implicit")
+                if kh == 3 and n.attrs.get("stride", 1) == 1:
+                    candidates.append("winograd")
+        row["measured_ms"] = {}
+        for algo in candidates:
+            cfg = EngineConfig(compute_dtype=dtype, backend="pallas",
+                               quant=quant,
+                               algo_overrides=((n.name, algo),))
+            ctx = LoweringCtx(graph, cfg)
+            fn = functools.partial(dispatch.conv_forward, n, ctx=ctx)
+            try:
+                t = device_bench(lambda a: fn(a, w, bias), [x], iters=iters)
+                row["measured_ms"][algo] = round(t * 1e3, 4)
+            except Exception as e:
+                row["measured_ms"][algo] = f"FAIL:{type(e).__name__}"
+        best = min((v, k) for k, v in row["measured_ms"].items()
+                   if isinstance(v, float))
+        row["best_algo"] = best[1]
+        row["achieved_tflops"] = round(row["gflops"] / best[0], 1)
+        row["sol_fraction"] = round(
+            row["achieved_tflops"] / row["roofline_tflops"], 3)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="resnet50")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--quant", default=None)
+    ap.add_argument("--measure", action="store_true",
+                    help="time each layer's algorithms on the device")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from feathercnn_tpu import Engine, EngineConfig
+    from feathercnn_tpu.models import MODEL_BUILDERS
+
+    g = MODEL_BUILDERS[args.model](batch=args.batch, with_softmax=False)
+    eng = Engine(g, EngineConfig(compute_dtype=args.dtype,
+                                 quant=args.quant))
+    rows = layer_table(eng.graph, args.quant)
+    if args.measure:
+        rows = measure_algos(eng.graph, rows, args.dtype, args.quant)
+
+    total_gf = sum(r["gflops"] for r in rows)
+    print(f"# {args.model} batch={args.batch} {args.dtype} "
+          f"quant={args.quant}: {total_gf:.1f} GFLOP/step")
+    for r in rows:
+        line = (f"{r['layer']:28s} {r['gflops']:8.2f}GF "
+                f"AI={r['intensity']:6.1f} roof={r['roofline_tflops']:5.0f}T")
+        if "measured_ms" in r:
+            line += f"  best={r['best_algo']}:" \
+                    f"{r['measured_ms'][r['best_algo']]}ms " \
+                    f"SoL={r['sol_fraction']*100:.0f}%"
+        print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -120,6 +120,23 @@ def conv_forward(node, x, w, bias, ctx):
                             interpret=interpret, **kwargs)
         return y.reshape(N, OH, OW, -1)
 
+    if algo == "winograd":
+        if kh == 3 and kw == 3 and sh == sw == 1 and dil == 1 and group == 1:
+            from .winograd import winograd_conv2d
+            kwargs = {}
+            if q is not None and w.dtype == jnp.int8:
+                kwargs["w_scale"] = q["w_scale"]
+            out_dtype, _ = _out_spec(x, q)
+            if out_dtype == jnp.int8:   # winograd path keeps float edges
+                out_dtype = jnp.bfloat16 if x.dtype != jnp.float32 \
+                    else jnp.float32
+            xs = x if x.dtype != jnp.int8 else (
+                x.astype(jnp.float32) * q["x_scale"]).astype(jnp.bfloat16)
+            return winograd_conv2d(xs, w, bias, pad_h=ph, pad_w=pw,
+                                   activation=act, out_dtype=out_dtype,
+                                   **kwargs)
+        algo = "xla"
+
     if algo == "implicit":
         kwargs = {}
         xs = x
