@@ -39,6 +39,12 @@ class Engine:
                  optimize_graph: bool = True):
         self.config = config or EngineConfig()
         self.graph = copy.deepcopy(graph)
+        # Auto-tuned per-layer algo choices baked into the model artifact
+        # (tools/autotune.py) apply unless the config overrides them.
+        baked = self.graph.meta.get("algo_overrides")
+        if baked and not self.config.algo_overrides:
+            self.config = self.config.replace(
+                algo_overrides=tuple(baked.items()))
         if optimize_graph:
             optimize(self.graph)
         if self.config.quant:

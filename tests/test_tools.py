@@ -1,0 +1,74 @@
+"""Tests for observability + autotune plumbing."""
+
+import json
+
+import numpy as np
+import pytest
+
+from feathercnn_tpu import Engine, EngineConfig
+from feathercnn_tpu.models.builder import GraphBuilder
+
+
+def _net():
+    b = GraphBuilder("t", seed=9)
+    x = b.input("data", (1, 8, 8, 4))
+    y = b.conv("c1", x, 8, 3, pad=1, relu=True)
+    y = b.conv("c2", y, 8, 1, relu=True)
+    return b.finish([y])
+
+
+def test_layer_timings_runs(rng):
+    from feathercnn_tpu.utils.profiling import layer_timings
+    eng = Engine(_net())
+    x = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+    t = layer_timings(eng, x, iters=2)
+    assert set(t) == {n.name for n in eng.graph.nodes}
+    assert all(v >= 0 for v in t.values())
+
+
+def test_baked_algo_overrides_applied(rng):
+    g = _net()
+    g.meta["algo_overrides"] = {"c1": "winograd"}
+    eng = Engine(g, EngineConfig(backend="pallas"))
+    assert eng.config.algo_for("c1") == "winograd"
+    # config-specified overrides win over baked ones
+    eng2 = Engine(g, EngineConfig(backend="pallas",
+                                  algo_overrides=(("c1", "xla"),)))
+    assert eng2.config.algo_for("c1") == "xla"
+    # and the outputs agree regardless of algo
+    x = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(eng(x)), np.asarray(eng2(x)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_roofline_static_table():
+    from bench.roofline import layer_table
+    eng = Engine(_net())
+    rows = layer_table(eng.graph, None)
+    assert {r["layer"] for r in rows} == {"c1", "c2"}
+    c1 = next(r for r in rows if r["layer"] == "c1")
+    # 2*N*OH*OW*Co*KH*KW*C = 2*1*8*8*8*3*3*4
+    assert abs(c1["gflops"] - 2 * 64 * 8 * 9 * 4 / 1e9) < 1e-12
+    assert c1["roofline_tflops"] > 0
+
+
+def test_top1_agreement_fp_vs_int8(rng):
+    """Proxy for the 0.5% top-1 gate (BASELINE.json:5) without ImageNet:
+    fp vs full-int8 top-1 agreement on random inputs must be >= 95%."""
+    from feathercnn_tpu.quant import calibrate
+    from feathercnn_tpu.models import squeezenet_v11
+
+    g = squeezenet_v11()
+    cal = [rng.normal(size=(1, 227, 227, 3)).astype(np.float32)
+           for _ in range(2)]
+    calibrate(g, cal, method="percentile")
+    fp = Engine(g)
+    q = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                               interpret=True))
+    agree = 0
+    n = 8
+    for i in range(n):
+        x = rng.normal(size=(1, 227, 227, 3)).astype(np.float32)
+        agree += int(np.asarray(fp(x)).argmax()
+                     == np.asarray(q(x)).argmax())
+    assert agree / n >= 0.95, f"top-1 agreement {agree}/{n}"
