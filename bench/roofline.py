@@ -84,11 +84,30 @@ def measure_algos(graph, rows, dtype, quant, iters=20):
 
     node_map = {n.name: n for n in graph.nodes}
     rng = np.random.default_rng(0)
+    # Dedupe by shape signature: ResNet-50 has 53 convs but ~20 unique
+    # (in_shape, kernel, stride, Cout, group) signatures — measure each
+    # once and share (compiles over the tunnel are the bottleneck).
+    sig_cache = {}
     for row in rows:
         n = node_map[row["layer"]]
         if n.op != "Convolution":
             continue
         in_spec = graph.specs[n.inputs[0]]
+        sig = (in_spec.shape,
+               n.attrs.get("kernel_h", n.attrs.get("kernel_size", 1)),
+               n.attrs.get("stride", 1), n.attrs.get("group", 1),
+               n.attrs["num_output"],
+               graph.meta.get("quant", {}).get(n.name, {}).get("x_scale")
+               is not None)
+        if sig in sig_cache:
+            cached = sig_cache[sig]
+            row.update({k: cached[k] for k in
+                        ("measured_ms", "best_algo", "achieved_tflops")
+                        if k in cached})
+            if "measured_ms" in row:
+                row["sol_fraction"] = round(
+                    row["achieved_tflops"] / row["roofline_tflops"], 3)
+            continue
         x = jnp.asarray(rng.normal(size=in_spec.shape),
                         jnp.dtype(dtype))
         w = jnp.asarray(graph.params[n.params[0]])
@@ -102,7 +121,8 @@ def measure_algos(graph, rows, dtype, quant, iters=20):
                 candidates.append("gemm1x1")
             else:
                 candidates.append("implicit")
-                if kh == 3 and n.attrs.get("stride", 1) == 1:
+                # winograd dequantizes, so it only competes on fp runs
+                if kh == 3 and n.attrs.get("stride", 1) == 1 and not quant:
                     candidates.append("winograd")
         row["measured_ms"] = {}
         for algo in candidates:
@@ -122,6 +142,7 @@ def measure_algos(graph, rows, dtype, quant, iters=20):
         row["achieved_tflops"] = round(row["gflops"] / best[0], 1)
         row["sol_fraction"] = round(
             row["achieved_tflops"] / row["roofline_tflops"], 3)
+        sig_cache[sig] = row
     return rows
 
 

@@ -41,6 +41,10 @@ class EngineConfig:
     # Run Pallas kernels in interpreter mode (CPU CI without a TPU).
     interpret: bool = False
 
+    # Persistent compiled-executable cache directory (cuts serving restart
+    # latency — SURVEY.md §5 checkpoint/resume).  None disables.
+    compilation_cache_dir: Optional[str] = None
+
     def algo_for(self, layer_name: str) -> Optional[str]:
         d = dict(self.algo_overrides)
         return d.get(layer_name, d.get("*"))

@@ -54,6 +54,10 @@ class Engine:
         self.graph.validate()
         self._device_params: Optional[Dict[str, jax.Array]] = None
         self._jitted: Dict[tuple, Any] = {}
+        if self.config.compilation_cache_dir:
+            jax.config.update("jax_compilation_cache_dir",
+                              self.config.compilation_cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         self._mesh = None
         if self.config.sharding is not None:
             from .parallel.mesh import build_mesh

@@ -1,5 +1,7 @@
 from .mesh import (ShardingConfig, build_mesh, input_shardings,
                    output_shardings, param_shardings)
+from .overlap import allgather_matmul, matmul_reducescatter
 
 __all__ = ["ShardingConfig", "build_mesh", "input_shardings",
-           "output_shardings", "param_shardings"]
+           "output_shardings", "param_shardings", "allgather_matmul",
+           "matmul_reducescatter"]

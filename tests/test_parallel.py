@@ -120,3 +120,25 @@ def test_batch_sharding_layout(mesh, rng):
                          shards["data"])
     assert len(arr.addressable_shards) == 8
     assert arr.addressable_shards[0].data.shape == (4, 4, 4, 4)
+
+
+def test_allgather_matmul_overlapped(mesh, rng):
+    """Ring-pipelined allgather-matmul == gather-then-matmul."""
+    from feathercnn_tpu.parallel.overlap import allgather_matmul
+    x = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    y = allgather_matmul(mesh, "model", x, w, b, activation="relu")
+    ref = jnp.maximum(x @ w + b, 0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_matmul_reducescatter_ring(mesh, rng):
+    """Ring reduce-scatter matmul == full matmul, output N-sharded."""
+    from feathercnn_tpu.parallel.overlap import matmul_reducescatter
+    x = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(32, 24)).astype(np.float32))
+    y = matmul_reducescatter(mesh, "model", x, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x @ w),
+                               rtol=1e-5, atol=1e-5)
