@@ -45,6 +45,10 @@ class EngineConfig:
     # latency — SURVEY.md §5 checkpoint/resume).  None disables.
     compilation_cache_dir: Optional[str] = None
 
+    # Region fusion: run identity-shortcut bottlenecks as single
+    # VMEM-resident Pallas kernels (passes_fusion.py).  Opt-in.
+    fuse_blocks: bool = False
+
     def algo_for(self, layer_name: str) -> Optional[str]:
         d = dict(self.algo_overrides)
         return d.get(layer_name, d.get("*"))

@@ -50,6 +50,10 @@ class Engine:
         if self.config.quant:
             from .quant.rewrite import quantize_graph
             quantize_graph(self.graph, self.config.quant)
+        if self.config.fuse_blocks:
+            from .passes_fusion import fuse_bottlenecks
+            infer_shapes(self.graph)  # fresh specs for the VMEM gate
+            fuse_bottlenecks(self.graph)
         infer_shapes(self.graph)
         self.graph.validate()
         self._device_params: Optional[Dict[str, jax.Array]] = None

@@ -290,6 +290,11 @@ for _op in ["ReLU", "ReLU6", "PReLU", "Sigmoid", "TanH", "BatchNorm",
     register_shape_fn(_op)(_elementwise_shape)
 
 
+@register_shape_fn("FusedBottleneck")
+def _fused_block_shape(node, in_specs, graph):
+    return [in_specs[0]]
+
+
 @register_shape_fn("Eltwise")
 def _eltwise_shape(node, in_specs, graph):
     base = in_specs[0]

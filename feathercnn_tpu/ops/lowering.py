@@ -149,6 +149,35 @@ def _pool_padding(size, k, s, p, ceil_mode):
     return out, max(needed, 0)
 
 
+@register_lowering("FusedBottleneck")
+def _lower_fused_block(node, inputs, params, ctx):
+    """VMEM-resident bottleneck (passes_fusion.py -> kernels/fused_block)."""
+    from ..kernels.fused_block import fused_bottleneck
+    x = inputs[0]
+    w1, b1, w2, b2, w3, b3 = params
+    # Graph weights are HWIO; the fused kernel wants bare matrices for
+    # the 1x1s.
+    w1 = w1.reshape(w1.shape[-2], w1.shape[-1])
+    w3 = w3.reshape(w3.shape[-2], w3.shape[-1])
+    q = ctx.qinfo(node)
+    if node.attrs.get("quant") and q is not None:
+        s_x = node.attrs["s_x"]
+        if x.dtype != jnp.int8:
+            x = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                         -127, 127).astype(jnp.int8)
+        ws = tuple(jnp.asarray(s) for s in q["w_scales"])
+        scales = (s_x, node.attrs["s_y1"], node.attrs["s_y2"],
+                  node.attrs.get("s_out"))
+        y = fused_bottleneck(x, w1, b1, w2, b2, w3, b3, w_scales=ws,
+                             scales=scales, interpret=ctx.config.interpret)
+    else:
+        cd = x.dtype
+        y = fused_bottleneck(x, w1.astype(cd), b1, w2.astype(cd), b2,
+                             w3.astype(cd), b3,
+                             interpret=ctx.config.interpret)
+    return [y]
+
+
 @register_lowering("Pooling")
 def _lower_pool(node, inputs, params, ctx):
     x = inputs[0]
