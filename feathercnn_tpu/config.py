@@ -49,6 +49,10 @@ class EngineConfig:
     # VMEM-resident Pallas kernels (passes_fusion.py).  Opt-in.
     fuse_blocks: bool = False
 
+    # Space-to-depth stem rewrite (7x7 s2 C<=4 -> 4x4 s1 C*4,
+    # passes_stem.py).  Numerically exact.
+    s2d_stem: bool = False
+
     def algo_for(self, layer_name: str) -> Optional[str]:
         d = dict(self.algo_overrides)
         return d.get(layer_name, d.get("*"))

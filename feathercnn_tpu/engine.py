@@ -54,6 +54,10 @@ class Engine:
             from .passes_fusion import fuse_bottlenecks
             infer_shapes(self.graph)  # fresh specs for the VMEM gate
             fuse_bottlenecks(self.graph)
+        if self.config.s2d_stem:
+            from .passes_stem import space_to_depth_stem
+            infer_shapes(self.graph)
+            space_to_depth_stem(self.graph)
         infer_shapes(self.graph)
         self.graph.validate()
         self._device_params: Optional[Dict[str, jax.Array]] = None

@@ -149,6 +149,22 @@ def _pool_padding(size, k, s, p, ceil_mode):
     return out, max(needed, 0)
 
 
+@register_lowering("SpaceToDepth")
+def _lower_s2d(node, inputs, params, ctx):
+    """2x2 space-to-depth with edge padding (passes_stem.py); channel
+    order (i, j, c) to match the re-packed stem weights."""
+    x = inputs[0]
+    blk = node.attrs.get("block", 2)
+    pad = node.attrs.get("pad", 0)
+    n, h, w, c = x.shape
+    if pad:
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        h, w = h + 2 * pad, w + 2 * pad
+    x = x.reshape(n, h // blk, blk, w // blk, blk, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return [x.reshape(n, h // blk, w // blk, blk * blk * c)]
+
+
 @register_lowering("FusedBottleneck")
 def _lower_fused_block(node, inputs, params, ctx):
     """VMEM-resident bottleneck (passes_fusion.py -> kernels/fused_block)."""

@@ -126,3 +126,18 @@ def test_eltwise_relu_fusion(rng):
     assert elt.attrs["activation"] == "relu"
     np.testing.assert_allclose(np.asarray(out_opt), np.asarray(out_raw),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_space_to_depth_stem_exact(rng):
+    """7x7 s2 stem -> s2d + 4x4 s1 must be numerically identical."""
+    from feathercnn_tpu.models.builder import GraphBuilder
+    b = GraphBuilder("stem", seed=15)
+    x = b.input("data", (1, 32, 32, 3))
+    y = b.conv("conv1", x, 16, 7, stride=2, pad=3, relu=True)
+    g = b.finish([y])
+    xv = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    eng = Engine(g, EngineConfig(s2d_stem=True))
+    assert any(n.op == "SpaceToDepth" for n in eng.graph.nodes)
+    out = np.asarray(eng(xv))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
