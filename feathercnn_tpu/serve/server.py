@@ -48,11 +48,18 @@ def broadcast_plan(n_real: int) -> int:
 class InferenceServer:
     def __init__(self, engine: Engine, batch_size: int = 32,
                  batch_timeout_us: int = 2000, max_retries: int = 1,
-                 prefer_native_queue: bool = True):
+                 prefer_native_queue: bool = True,
+                 transfer_dtype: Optional[str] = "bfloat16"):
         self.engine = engine
         self.batch_size = batch_size
         self.batch_timeout_us = batch_timeout_us
         self.max_retries = max_retries
+        # Cast the batch before host->device transfer: halves the PCIe (or
+        # tunnel) bytes; the engine casts to its compute dtype anyway.
+        self._transfer_dtype = None
+        if transfer_dtype and engine.config.compute_dtype != "float32":
+            import jax.numpy as jnp
+            self._transfer_dtype = jnp.dtype(transfer_dtype)
 
         (in_name,) = engine.graph.inputs
         self._in_name = in_name
@@ -114,6 +121,8 @@ class InferenceServer:
             self.metrics["pad_images"] += self.batch_size - n_real
         else:
             full = batch
+        if self._transfer_dtype is not None:
+            full = full.astype(self._transfer_dtype)
         out = self.engine.run({self._in_name: full})[self._out_name]
         out = np.asarray(out, np.float32).reshape(self.batch_size, -1)
         return out[:batch.shape[0]].reshape(
