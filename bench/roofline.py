@@ -136,8 +136,11 @@ def measure_algos(graph, rows, dtype, quant, iters=20):
                 row["measured_ms"][algo] = round(t * 1e3, 4)
             except Exception as e:
                 row["measured_ms"][algo] = f"FAIL:{type(e).__name__}"
-        best = min((v, k) for k, v in row["measured_ms"].items()
-                   if isinstance(v, float))
+        ok = [(v, k) for k, v in row["measured_ms"].items()
+              if isinstance(v, float)]
+        if not ok:
+            continue
+        best = min(ok)
         row["best_algo"] = best[1]
         row["achieved_tflops"] = round(row["gflops"] / best[0], 1)
         row["sol_fraction"] = round(

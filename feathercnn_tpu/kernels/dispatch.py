@@ -102,10 +102,10 @@ def conv_forward(node, x, w, bias, ctx):
 
     if algo == "gemm1x1" and kh == 1 and kw == 1:
         xs = x
+        if ph or pw:  # pad before the stride slice (conv semantics)
+            xs = jnp.pad(xs, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
         if sh > 1 or sw > 1:
             xs = xs[:, ::sh, ::sw, :]
-        if ph or pw:
-            xs = jnp.pad(xs, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
         N, OH, OW, C = xs.shape
         x2 = xs.reshape(N * OH * OW, C)
         kwargs = {}

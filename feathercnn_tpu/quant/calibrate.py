@@ -62,7 +62,10 @@ def calibrate(graph, batches: Iterable, method: str = "percentile",
             amax[v] = max(amax.get(v, 0.0), float(arr.max()))
             if method in ("percentile", "mse"):
                 k = min(arr.size, sample_cap // 8)
-                samples[v].append(rng.choice(arr, size=k, replace=False)
+                # with-replacement sampling: percentile estimation doesn't
+                # need uniqueness, and choice(replace=False) materializes
+                # a full permutation of multi-GB activations
+                samples[v].append(rng.choice(arr, size=k)
                                   if arr.size > k else arr)
 
     value_amax: Dict[str, float] = {}

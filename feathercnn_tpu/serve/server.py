@@ -88,8 +88,13 @@ class InferenceServer:
 
     # ------------------------------------------------------------------
     def start(self) -> None:
-        # Compile the fixed batch slot up front (Init-phase discipline).
-        self.engine.compile(batch=self.batch_size)
+        # Compile the fixed batch slot up front (Init-phase discipline) —
+        # with the dtype _run_batch will actually send, or the first real
+        # batch would retrace.
+        warm = np.zeros((self.batch_size,) + self._item_shape, np.float32)
+        if self._transfer_dtype is not None:
+            warm = warm.astype(self._transfer_dtype)
+        self.engine.run({self._in_name: warm})
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         self._worker.start()
         self._heartbeat = threading.Thread(target=self._heartbeat_loop,
