@@ -123,7 +123,6 @@ def fuse_bottlenecks(graph: Graph) -> int:
 
     if fused:
         out = []
-        replace = {x.name: x for x in new_nodes}
         for n in graph.nodes:
             if n.name in remove:
                 # insert the fused node where the Eltwise was
@@ -135,4 +134,37 @@ def fuse_bottlenecks(graph: Graph) -> int:
                 out.append(n)
         graph.nodes = out
         graph.validate()
+        _propagate_int8_through_blocks(graph)
     return fused
+
+
+def _propagate_int8_through_blocks(graph: Graph) -> None:
+    """Second pass: a quantized FusedBottleneck emits int8 directly when
+    every consumer reads int8 at the same (calibrated) scale — chains of
+    fused blocks then never leave int8 between HBM round trips."""
+    qmeta = graph.meta.get("quant", {})
+    vscales = graph.meta.get("value_scales", {})
+    consumers = graph.consumers()
+    fused_by_name = {n.name: n for n in graph.nodes
+                     if n.op == "FusedBottleneck"}
+    for n in fused_by_name.values():
+        if not n.attrs.get("quant"):
+            continue
+        out = n.outputs[0]
+        scale = vscales.get(out)
+        if scale is None or out in graph.outputs:
+            continue
+        ok = True
+        for c in consumers.get(out, []):
+            if c.op == "FusedBottleneck":
+                if not c.attrs.get("quant") or c.attrs.get("s_x") != scale:
+                    ok = False
+            elif c.op in ("Convolution", "InnerProduct"):
+                info = qmeta.get(c.name)
+                if not info or info.get("x_scale") != scale \
+                        or c.inputs[0] != out:
+                    ok = False
+            else:
+                ok = False
+        if ok and consumers.get(out):
+            n.attrs["s_out"] = float(scale)
