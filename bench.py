@@ -121,9 +121,15 @@ def bench_model(name: str, batch: int, dtype: str, backend: str,
     float(loop(params, xd, jnp.int32(warmup)))  # compile+warmup, fetch-synced
     compile_s = time.time() - t0
 
+    # Slope timing: each dispatch+fetch through the tunnel costs a
+    # ~30-50 ms constant; T(long)-T(short) cancels it.
     t0 = time.time()
-    float(loop(params, xd, jnp.int32(iters)))
-    dt = (time.time() - t0) / iters
+    float(loop(params, xd, jnp.int32(warmup)))
+    t_short = time.time() - t0
+    t0 = time.time()
+    float(loop(params, xd, jnp.int32(warmup + iters)))
+    t_long = time.time() - t0
+    dt = max(t_long - t_short, 1e-9) / iters
 
     imgs_per_s = batch / dt
     flops = graph_flops(eng.graph) * batch

@@ -22,6 +22,12 @@ def device_bench(fn: Callable, args: Sequence, iters: int = 50,
                  warmup: int = 5) -> float:
     """Return seconds per invocation of ``fn(*args)`` measured device-side.
 
+    Uses the SLOPE between two loop lengths: every dispatch+fetch through
+    the tunnel costs a ~30-50 ms constant, so a single timed loop of N
+    iterations overstates per-iteration time by const/N.  Timing
+    T(short) and T(long) and dividing the difference cancels the
+    constant exactly.
+
     ``fn`` must be jit-traceable; args[0] must be a float/int array whose
     values may be perturbed (timing-only)."""
     args = [jnp.asarray(a) if a is not None else None for a in args]
@@ -37,6 +43,11 @@ def device_bench(fn: Callable, args: Sequence, iters: int = 50,
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     float(loop(args, jnp.int32(warmup)))   # compile + warmup (fetch-synced)
+    n_short, n_long = max(1, warmup), max(1, warmup) + iters
     t0 = time.time()
-    float(loop(args, jnp.int32(iters)))
-    return (time.time() - t0) / iters
+    float(loop(args, jnp.int32(n_short)))
+    t_short = time.time() - t0
+    t0 = time.time()
+    float(loop(args, jnp.int32(n_long)))
+    t_long = time.time() - t0
+    return max(t_long - t_short, 1e-9) / (n_long - n_short)
