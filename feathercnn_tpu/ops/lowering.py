@@ -353,6 +353,18 @@ def _lower_bn(node, inputs, params, ctx):
 @register_lowering("Eltwise")
 def _lower_eltwise(node, inputs, params, ctx):
     op = node.attrs.get("operation", "SUM")
+    q = ctx.qinfo(node)
+    if q is not None and q.get("eltwise_int8"):
+        # int8-edge residual add: dequant-accumulate in f32 registers,
+        # fused relu, requantize to the calibrated output scale.
+        acc = None
+        for x, s in zip(inputs, q["in_scales"]):
+            xf = (x.astype(jnp.float32) * s if x.dtype == jnp.int8
+                  else x.astype(jnp.float32))
+            acc = xf if acc is None else acc + xf
+        acc = apply_activation(acc, node.attrs.get("activation"))
+        return [jnp.clip(jnp.round(acc / q["y_scale"]), -127, 127)
+                .astype(jnp.int8)]
     if op == "SUM":
         coeffs = node.attrs.get("coeffs")
         if coeffs:

@@ -45,18 +45,23 @@ def calibrate(graph, batches: Iterable, method: str = "percentile",
     eng = Engine(graph, config or EngineConfig())
     targets = {n.name: n.inputs[0] for n in eng.graph.nodes
                if n.op in ("Convolution", "InnerProduct")}
+    # Also calibrate Eltwise operand values so residual adds can run on
+    # int8 edges (quant/rewrite.py int8-eltwise pass).
+    extra_values = [i for n in eng.graph.nodes if n.op == "Eltwise"
+                    for i in n.inputs]
+    all_values = set(targets.values()) | set(extra_values)
     # Graph inputs aren't extractable outputs; their scale comes from data.
-    names = sorted(set(targets.values()) - set(eng.graph.inputs))
+    names = sorted(all_values - set(eng.graph.inputs))
 
     amax: Dict[str, float] = {}
-    samples: Dict[str, list] = {v: [] for v in set(targets.values())}
+    samples: Dict[str, list] = {v: [] for v in all_values}
     rng = np.random.default_rng(0)
 
     for batch in batches:
         outs = eng.run(batch, extract=names)
         if not isinstance(batch, dict):
             batch = {next(iter(eng.graph.inputs)): batch}
-        for v in set(targets.values()):
+        for v in all_values:
             arr = np.abs(np.asarray(
                 outs[v] if v in outs else batch[v], np.float32)).ravel()
             amax[v] = max(amax.get(v, 0.0), float(arr.max()))

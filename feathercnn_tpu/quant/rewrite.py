@@ -45,11 +45,42 @@ def quantize_graph(graph, mode: str) -> None:
 
     if mode != "w8a8":
         return
-    # int8 edge propagation: a quantized producer whose every consumer is
-    # a quantized conv/FC reading at the producer's output scale emits
-    # int8 directly from its epilogue (requant fused, kernels/matmul.py
-    # out_scale) — no standalone quantize pass, half the HBM traffic.
     consumers = graph.consumers()
+
+    # Residual adds on int8 edges: an Eltwise SUM whose operand and output
+    # scales are calibrated and whose consumers all take int8 computes
+    # y = clip(round((sum_i x_i * s_i) / s_y)) — the rescale-add replaces
+    # two bf16 reads + one bf16 write with int8 traffic.  Marked in
+    # reverse topological order so chained adds resolve.
+    def _takes_int8(c, value):
+        info = qmeta.get(c.name)
+        if info is None:
+            return False
+        if c.op in ("Convolution", "InnerProduct"):
+            return info.get("x_scale") is not None and c.inputs[0] == value
+        if c.op == "Eltwise":
+            return bool(info.get("eltwise_int8"))
+        return False
+
+    for n in reversed(graph.nodes):
+        if (n.op == "Eltwise" and n.attrs.get("operation", "SUM") == "SUM"
+                and not n.attrs.get("coeffs")):
+            out = n.outputs[0]
+            y_scale = value_scales.get(out)
+            cons = consumers.get(out, [])
+            if (y_scale is not None and cons and out not in graph.outputs
+                    and all(v in value_scales for v in n.inputs)
+                    and all(_takes_int8(c, out) for c in cons)):
+                qmeta[n.name] = {
+                    "eltwise_int8": True,
+                    "in_scales": [float(value_scales[v]) for v in n.inputs],
+                    "y_scale": float(y_scale),
+                }
+
+    # int8 edge propagation: a quantized producer whose every consumer
+    # takes int8 at the producer's output scale emits int8 directly from
+    # its epilogue (requant fused, kernels/matmul.py out_scale) — no
+    # standalone quantize pass, half the HBM traffic.
     for n in graph.nodes:
         info = qmeta.get(n.name)
         if info is None or "x_scale" not in info:
@@ -58,8 +89,6 @@ def quantize_graph(graph, mode: str) -> None:
         y_scale = value_scales.get(out)
         cons = consumers.get(out, [])
         if (y_scale is not None and cons and out not in graph.outputs
-                and all(c.name in qmeta
-                        and qmeta[c.name].get("x_scale") is not None
-                        and c.inputs[0] == out for c in cons)):
+                and all(_takes_int8(c, out) for c in cons)):
             info["emit_int8"] = True
             info["y_scale"] = float(y_scale)
