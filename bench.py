@@ -65,7 +65,8 @@ def graph_flops(graph) -> float:
 
 
 def bench_model(name: str, batch: int, dtype: str, backend: str,
-                quant, iters: int = 30, warmup: int = 5, algo=None):
+                quant, iters: int = 30, warmup: int = 5, algo=None,
+                fuse_chains: bool = False):
     """Times `iters` forward passes *inside one jitted device loop*.
 
     Two quirks of the axon-tunnel TPU make naive host-side loops lie:
@@ -97,7 +98,8 @@ def bench_model(name: str, batch: int, dtype: str, backend: str,
         g.meta.update({k: g_cal.meta[k]
                        for k in ("act_scales", "value_scales")})
     cfg = EngineConfig(compute_dtype=dtype, backend=backend, quant=quant,
-                       algo_overrides=((("*", algo),) if algo else ()))
+                       algo_overrides=((("*", algo),) if algo else ()),
+                       fuse_chains=fuse_chains)
     eng = Engine(g, cfg)
     spec = next(iter(g.inputs.values()))
     x = np.random.default_rng(0).normal(size=spec.shape).astype(np.float32)
@@ -163,6 +165,9 @@ def main():
                     help="force one conv algo for every layer "
                          "(xla|gemm1x1|implicit); 'none' = dispatcher picks")
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--fuse-chains", action="store_true",
+                    help="fuse bottleneck chains into single Pallas "
+                         "kernels (kernels/fused_chain.py)")
     ap.add_argument("--all", action="store_true",
                     help="bench every zoo model (details to stderr)")
     args = ap.parse_args()
@@ -189,7 +194,8 @@ def main():
                 log(f"{name:16s} FAILED: {type(e).__name__}: {e}")
 
     r = bench_model(args.model, args.batch, args.dtype, args.backend,
-                    args.quant, iters=args.iters, algo=args.algo)
+                    args.quant, iters=args.iters, algo=args.algo,
+                    fuse_chains=args.fuse_chains)
     log(json.dumps(r, indent=2))
     print(json.dumps({
         "metric": f"{args.model} {'int8' if args.quant == 'w8a8' else args.dtype} images/sec/chip",

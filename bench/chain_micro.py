@@ -1,0 +1,132 @@
+"""Micro-bench: one fused bottleneck chain vs per-layer XLA vs per-block
+Pallas on the real chip.  Usage:
+
+    python bench/chain_micro.py [--stage 4] [--batch 128] [--nb 5]
+
+Stage presets (ResNet-50 identity-block signatures):
+    2 -> 56x56, C=256,  Cm=64     3 -> 28x28, C=512,  Cm=128
+    4 -> 14x14, C=1024, Cm=256    5 -> 7x7,   C=2048, Cm=512
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+STAGES = {2: (56, 256, 64, 2), 3: (28, 512, 128, 3),
+          4: (14, 1024, 256, 5), 5: (7, 2048, 512, 2)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--nb", type=int, default=0, help="0 = stage default")
+    ap.add_argument("--what", default="chain,xla,block",
+                    help="comma list: chain|xla|block")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from feathercnn_tpu.utils.timing import device_bench
+
+    HW, C, Cm, nb_def = STAGES[args.stage]
+    nb = args.nb or nb_def
+    N = args.batch
+    rng = np.random.default_rng(0)
+
+    flops = 2.0 * N * HW * HW * (2 * C * Cm + 9 * Cm * Cm) * nb
+    print(f"stage{args.stage}: {HW}x{HW} C={C} Cm={Cm} nb={nb} b{N} "
+          f"-> {flops/1e9:.1f} GFLOP/step", flush=True)
+
+    x8 = rng.integers(-127, 128, size=(N, HW, HW, C), dtype=np.int8)
+    w1 = rng.integers(-127, 128, size=(nb, C, Cm), dtype=np.int8)
+    w2 = rng.integers(-127, 128, size=(nb, 9 * Cm, Cm), dtype=np.int8)
+    w3 = rng.integers(-127, 128, size=(nb, Cm, C), dtype=np.int8)
+    b1 = np.zeros((nb, Cm), np.float32)
+    b2 = np.zeros((nb, Cm), np.float32)
+    b3 = np.zeros((nb, C), np.float32)
+    s = 0.02
+    w1s = np.full((nb, Cm), 1e-3, np.float32)
+    w2s = np.full((nb, Cm), 1e-3, np.float32)
+    w3s = np.full((nb, C), 1e-3, np.float32)
+    sx = (s,) * nb
+    scales = (sx, sx, sx, s)
+
+    what = args.what.split(",")
+
+    if "chain" in what:
+        from feathercnn_tpu.kernels.fused_chain import fused_chain
+        import functools
+        fn = functools.partial(
+            fused_chain, scales=scales)
+        t = device_bench(
+            lambda a: fused_chain(a, jnp.asarray(w1), jnp.asarray(b1),
+                                  jnp.asarray(w2), jnp.asarray(b2),
+                                  jnp.asarray(w3), jnp.asarray(b3),
+                                  w_scales=(jnp.asarray(w1s),
+                                            jnp.asarray(w2s),
+                                            jnp.asarray(w3s)),
+                                  scales=scales),
+            [jnp.asarray(x8)], iters=20)
+        print(f"chain : {t*1e3:8.3f} ms  {flops/t/1e12:7.1f} TOP/s",
+              flush=True)
+
+    if "block" in what:
+        from feathercnn_tpu.kernels.fused_block import fused_bottleneck
+
+        def blocks(a):
+            for j in range(nb):
+                a = fused_bottleneck(
+                    a, jnp.asarray(w1[j]), jnp.asarray(b1[j]),
+                    jnp.asarray(w2[j].reshape(3, 3, Cm, Cm)),
+                    jnp.asarray(b2[j]), jnp.asarray(w3[j]),
+                    jnp.asarray(b3[j]),
+                    w_scales=(jnp.asarray(w1s[j]), jnp.asarray(w2s[j]),
+                              jnp.asarray(w3s[j])),
+                    scales=(s, s, s, s))
+            return a
+        t = device_bench(blocks, [jnp.asarray(x8)], iters=20)
+        print(f"block : {t*1e3:8.3f} ms  {flops/t/1e12:7.1f} TOP/s",
+              flush=True)
+
+    if "xla" in what:
+        # per-layer XLA int8 convs with int8 edges (the production path)
+        import jax
+
+        def xla_chain(a):
+            for j in range(nb):
+                x_in = a
+                y = jax.lax.conv_general_dilated(
+                    a, jnp.asarray(w1[j].reshape(1, 1, C, Cm)), (1, 1),
+                    ((0, 0), (0, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                y = jnp.maximum(y.astype(jnp.float32) * (w1s[j] * s), 0)
+                y = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+                y = jax.lax.conv_general_dilated(
+                    y, jnp.asarray(w2[j].reshape(3, 3, Cm, Cm)), (1, 1),
+                    ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                y = jnp.maximum(y.astype(jnp.float32) * (w2s[j] * s), 0)
+                y = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+                y = jax.lax.conv_general_dilated(
+                    y, jnp.asarray(w3[j].reshape(1, 1, Cm, C)), (1, 1),
+                    ((0, 0), (0, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                y = y.astype(jnp.float32) * (w3s[j] * s)
+                y = jnp.maximum(y + x_in.astype(jnp.float32) * s, 0)
+                a = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+            return a
+        t = device_bench(xla_chain, [jnp.asarray(x8)], iters=20)
+        print(f"xla   : {t*1e3:8.3f} ms  {flops/t/1e12:7.1f} TOP/s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -70,7 +70,7 @@ def layer_table(graph, quant):
     return rows
 
 
-def measure_algos(graph, rows, dtype, quant, iters=20):
+def measure_algos(graph, rows, dtype, quant, iters=20, only_algos=None):
     """Time each layer's candidate algorithms in isolation."""
     import functools
 
@@ -124,6 +124,8 @@ def measure_algos(graph, rows, dtype, quant, iters=20):
                 # winograd dequantizes, so it only competes on fp runs
                 if kh == 3 and n.attrs.get("stride", 1) == 1 and not quant:
                     candidates.append("winograd")
+        if only_algos:
+            candidates = [c for c in candidates if c in only_algos]
         row["measured_ms"] = {}
         for algo in candidates:
             cfg = EngineConfig(compute_dtype=dtype, backend="pallas",
@@ -157,6 +159,8 @@ def main():
     ap.add_argument("--quant", default=None)
     ap.add_argument("--measure", action="store_true",
                     help="time each layer's algorithms on the device")
+    ap.add_argument("--algos", default=None,
+                    help="comma list restricting measured algorithms")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -168,7 +172,9 @@ def main():
                                  quant=args.quant))
     rows = layer_table(eng.graph, args.quant)
     if args.measure:
-        rows = measure_algos(eng.graph, rows, args.dtype, args.quant)
+        rows = measure_algos(eng.graph, rows, args.dtype, args.quant,
+                             only_algos=(args.algos.split(",")
+                                         if args.algos else None))
 
     total_gf = sum(r["gflops"] for r in rows)
     print(f"# {args.model} batch={args.batch} {args.dtype} "

@@ -53,6 +53,13 @@ class EngineConfig:
     # passes_stem.py).  Numerically exact.
     s2d_stem: bool = False
 
+    # Chain fusion: additionally merge same-shape bottleneck runs (a whole
+    # ResNet stage) into ONE pallas_call with grid (chunk, block) —
+    # activations persist in VMEM across blocks, weights stream with
+    # Mosaic double-buffering (kernels/fused_chain.py).  Implies
+    # fuse_blocks.  Opt-in.
+    fuse_chains: bool = False
+
     def algo_for(self, layer_name: str) -> Optional[str]:
         d = dict(self.algo_overrides)
         return d.get(layer_name, d.get("*"))

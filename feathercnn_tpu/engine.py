@@ -50,10 +50,12 @@ class Engine:
         if self.config.quant:
             from .quant.rewrite import quantize_graph
             quantize_graph(self.graph, self.config.quant)
-        if self.config.fuse_blocks:
-            from .passes_fusion import fuse_bottlenecks
+        if self.config.fuse_blocks or self.config.fuse_chains:
+            from .passes_fusion import fuse_bottlenecks, fuse_chains
             infer_shapes(self.graph)  # fresh specs for the VMEM gate
             fuse_bottlenecks(self.graph)
+            if self.config.fuse_chains:
+                fuse_chains(self.graph)
         if self.config.s2d_stem:
             from .passes_stem import space_to_depth_stem
             infer_shapes(self.graph)

@@ -295,6 +295,11 @@ def _fused_block_shape(node, in_specs, graph):
     return [in_specs[0]]
 
 
+@register_shape_fn("FusedChain")
+def _fused_chain_shape(node, in_specs, graph):
+    return [in_specs[0]]
+
+
 @register_shape_fn("Eltwise")
 def _eltwise_shape(node, in_specs, graph):
     base = in_specs[0]

@@ -194,6 +194,32 @@ def _lower_fused_block(node, inputs, params, ctx):
     return [y]
 
 
+@register_lowering("FusedChain")
+def _lower_fused_chain(node, inputs, params, ctx):
+    """Chained bottlenecks in one pallas_call (passes_fusion.fuse_chains
+    -> kernels/fused_chain)."""
+    from ..kernels.fused_chain import fused_chain
+    x = inputs[0]
+    w1, b1, w2, b2, w3, b3 = params
+    q = ctx.qinfo(node)
+    if node.attrs.get("quant") and q is not None:
+        sx = node.attrs["sx"]
+        if x.dtype != jnp.int8:
+            x = jnp.clip(jnp.round(x.astype(jnp.float32) / sx[0]),
+                         -127, 127).astype(jnp.int8)
+        ws = (jnp.asarray(q["w1s"]), jnp.asarray(q["w2s"]),
+              jnp.asarray(q["w3s"]))
+        scales = (sx, node.attrs["sy1"], node.attrs["sy2"],
+                  node.attrs.get("s_out"))
+        y = fused_chain(x, w1, b1, w2, b2, w3, b3, w_scales=ws,
+                        scales=scales, interpret=ctx.config.interpret)
+    else:
+        cd = x.dtype
+        y = fused_chain(x, w1.astype(cd), b1, w2.astype(cd), b2,
+                        w3.astype(cd), b3, interpret=ctx.config.interpret)
+    return [y]
+
+
 @register_lowering("Pooling")
 def _lower_pool(node, inputs, params, ctx):
     x = inputs[0]

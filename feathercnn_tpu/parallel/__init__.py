@@ -1,7 +1,8 @@
 from .mesh import (ShardingConfig, build_mesh, input_shardings,
                    output_shardings, param_shardings)
 from .overlap import allgather_matmul, matmul_reducescatter
+from .pipeline import PipelineEngine, partition_stages
 
 __all__ = ["ShardingConfig", "build_mesh", "input_shardings",
            "output_shardings", "param_shardings", "allgather_matmul",
-           "matmul_reducescatter"]
+           "matmul_reducescatter", "PipelineEngine", "partition_stages"]

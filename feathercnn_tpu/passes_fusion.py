@@ -18,7 +18,7 @@ from typing import List
 
 from .ir import Graph, Node
 
-__all__ = ["fuse_bottlenecks"]
+__all__ = ["fuse_bottlenecks", "fuse_chains"]
 
 
 def _conv_is(n: Node, k: int, act, stride=1) -> bool:
@@ -70,24 +70,23 @@ def fuse_bottlenecks(graph: Graph) -> int:
                 # channel constraints: C == Co, all biases present
                 if not all(len(m.params) > 1 for m in (a, b, c)):
                     continue
-                # VMEM gate: even a single image's temporaries must fit
-                # (56x56 ResNet stage-2 blocks don't — they stay
-                # per-layer).
                 spec = graph.specs.get(x_val)
                 if spec is None or spec.rank != 4:
                     continue
                 _, H, W, C = spec.shape
                 Cm = a.attrs["num_output"]
-                est = (H * W * max(C, 4 * Cm) * 4 * 3
-                       + (H + 2) * (W + 2) * Cm * 2
-                       + (2 * C * Cm + 9 * Cm * Cm) * 2
-                       + H * W * C * 2 * 4)
-                if est > 8 * 1024 * 1024:
-                    continue
-
                 quant = all(m.name in qmeta
                             and qmeta[m.name].get("x_scale") is not None
                             for m in (a, b, c)) if qmeta else False
+                # VMEM gate: even a single image's temporaries + resident
+                # weights must fit (56x56 ResNet stage-2 blocks don't —
+                # they stay per-layer).
+                from .kernels.fused_chain import chain_vmem_bytes
+                w_item = 1 if quant else 2
+                wbytes = (C * Cm + 9 * Cm * Cm + Cm * C) * w_item
+                if chain_vmem_bytes(1, H, W, C, Cm, w_item,
+                                    wbytes) > 9 * 1024 * 1024:
+                    continue
                 meta = {}
                 if quant:
                     meta = {
@@ -136,6 +135,144 @@ def fuse_bottlenecks(graph: Graph) -> int:
         graph.validate()
         _propagate_int8_through_blocks(graph)
     return fused
+
+
+def fuse_chains(graph: Graph) -> int:
+    """Merge runs of same-shape FusedBottleneck nodes into FusedChain nodes.
+
+    All identity blocks inside one ResNet stage share an (H, W, C, Cm)
+    signature, so a stage's 2-5 blocks become ONE pallas_call whose grid
+    walks (batch_chunk, block): activations stay in VMEM scratch across
+    blocks, per-block weights stream with Mosaic double-buffering
+    (kernels/fused_chain.py).  Runs after fuse_bottlenecks.  Returns the
+    number of chains formed.
+    """
+    import numpy as np
+
+    consumers = graph.consumers()
+    qmeta = graph.meta.get("quant", {})
+
+    # Collect maximal runs of chainable neighbours, in node order.
+    runs: List[List[Node]] = []
+    cur: List[Node] = []
+
+    def flush():
+        if len(cur) >= 2:
+            runs.append(list(cur))
+        cur.clear()
+
+    def chainable(prev: Node, n: Node) -> bool:
+        if prev.outputs[0] != n.inputs[0]:
+            return False
+        if prev.outputs[0] in graph.outputs:
+            return False
+        cons = consumers.get(prev.outputs[0], [])
+        if len(cons) != 1 or cons[0] is not n:
+            return False
+        if prev.attrs.get("quant") != n.attrs.get("quant"):
+            return False
+        w1p, w1n = graph.params[prev.params[0]], graph.params[n.params[0]]
+        return w1p.shape == w1n.shape
+
+    for n in graph.nodes:
+        if n.op != "FusedBottleneck":
+            flush()
+            continue
+        if cur and chainable(cur[-1], n):
+            cur.append(n)
+        else:
+            flush()
+            cur.append(n)
+    flush()
+
+    if not runs:
+        return 0
+
+    # Split runs whose resident weights + chunk-1 temporaries overflow
+    # VMEM (e.g. ResNet stage-5: 2 blocks x 4.5 MB int8 weights).
+    from .kernels.fused_chain import chain_vmem_bytes
+
+    def fits(blocks):
+        x_val = blocks[0].inputs[0]
+        _, H, W, C = graph.specs[x_val].shape
+        w2 = graph.params[blocks[0].params[2]]
+        Cm = w2.shape[-1]
+        item = w2.dtype.itemsize if w2.dtype == np.int8 else 2
+        wb = (C * Cm + 9 * Cm * Cm + Cm * C) * item * len(blocks)
+        return chain_vmem_bytes(1, H, W, C, Cm, item, wb) <= 10 * 1024 * 1024
+
+    split_runs: List[List[Node]] = []
+    for blocks in runs:
+        start = 0
+        while start < len(blocks):
+            end = len(blocks)
+            while end > start + 1 and not fits(blocks[start:end]):
+                end -= 1
+            if end - start >= 2:
+                split_runs.append(blocks[start:end])
+            start = end
+    runs = split_runs
+    if not runs:
+        return 0
+
+    replaced = {}          # first-node name -> chain node
+    remove: set = set()
+    for blocks in runs:
+        nb = len(blocks)
+        w1 = np.stack([np.asarray(graph.params[b.params[0]]).reshape(
+            graph.params[b.params[0]].shape[-2],
+            graph.params[b.params[0]].shape[-1]) for b in blocks])
+        b1 = np.stack([np.asarray(graph.params[b.params[1]],
+                                  dtype=np.float32) for b in blocks])
+        w2 = np.stack([np.asarray(graph.params[b.params[2]]).reshape(
+            -1, graph.params[b.params[2]].shape[-1]) for b in blocks])
+        b2 = np.stack([np.asarray(graph.params[b.params[3]],
+                                  dtype=np.float32) for b in blocks])
+        w3 = np.stack([np.asarray(graph.params[b.params[4]]).reshape(
+            graph.params[b.params[4]].shape[-2],
+            graph.params[b.params[4]].shape[-1]) for b in blocks])
+        b3 = np.stack([np.asarray(graph.params[b.params[5]],
+                                  dtype=np.float32) for b in blocks])
+
+        name = blocks[0].name + f"/chain{nb}"
+        pnames = [f"{name}/{p}" for p in
+                  ("w1", "b1", "w2", "b2", "w3", "b3")]
+        for pn, arr in zip(pnames, (w1, b1, w2, b2, w3, b3)):
+            graph.params[pn] = arr
+
+        quant = bool(blocks[0].attrs.get("quant"))
+        attrs = {"quant": quant, "nb": nb}
+        if quant:
+            attrs["sx"] = tuple(float(b.attrs["s_x"]) for b in blocks)
+            attrs["sy1"] = tuple(float(b.attrs["s_y1"]) for b in blocks)
+            attrs["sy2"] = tuple(float(b.attrs["s_y2"]) for b in blocks)
+            s_out = blocks[-1].attrs.get("s_out")
+            attrs["s_out"] = float(s_out) if s_out else None
+            graph.meta.setdefault("quant", {})[name] = {
+                "w1s": np.stack([np.asarray(qmeta[b.name]["w_scales"][0],
+                                            np.float32) for b in blocks]),
+                "w2s": np.stack([np.asarray(qmeta[b.name]["w_scales"][1],
+                                            np.float32) for b in blocks]),
+                "w3s": np.stack([np.asarray(qmeta[b.name]["w_scales"][2],
+                                            np.float32) for b in blocks]),
+                "x_scale": float(blocks[0].attrs["s_x"]),
+            }
+        node = Node(name=name, op="FusedChain",
+                    inputs=list(blocks[0].inputs),
+                    outputs=list(blocks[-1].outputs),
+                    attrs=attrs, params=pnames)
+        replaced[blocks[0].name] = node
+        remove.update(b.name for b in blocks)
+
+    out = []
+    for n in graph.nodes:
+        if n.name in replaced:
+            out.append(replaced[n.name])
+        elif n.name not in remove:
+            out.append(n)
+    graph.nodes = out
+    graph.validate()
+    return len(runs)
 
 
 def _propagate_int8_through_blocks(graph: Graph) -> None:

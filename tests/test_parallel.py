@@ -142,3 +142,49 @@ def test_matmul_reducescatter_ring(mesh, rng):
     y = matmul_reducescatter(mesh, "model", x, w)
     np.testing.assert_allclose(np.asarray(y), np.asarray(x @ w),
                                rtol=1e-5, atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# Pipeline parallelism (parallel/pipeline.py)
+# ----------------------------------------------------------------------
+
+def test_pipeline_partition_balance():
+    from feathercnn_tpu.models import MODEL_BUILDERS
+    from feathercnn_tpu.parallel.pipeline import partition_stages
+    from feathercnn_tpu.ir import infer_shapes
+    from feathercnn_tpu.passes import optimize
+    g = MODEL_BUILDERS["resnet50"](batch=1, with_softmax=False)
+    optimize(g)
+    infer_shapes(g)
+    stages = partition_stages(g, 4)
+    assert len(stages) == 4
+    assert sum(len(s.nodes) for s in stages) == len(g.nodes)
+    # every stage gets real work and the cut edges are narrow
+    for s in stages:
+        assert s.nodes
+        assert len(s.live_in) <= 3
+
+
+def test_pipeline_engine_matches_single_device(rng):
+    from feathercnn_tpu.models import MODEL_BUILDERS
+    from feathercnn_tpu.parallel.pipeline import PipelineEngine
+    g = MODEL_BUILDERS["squeezenet_v11"]()
+    x = rng.normal(size=(4, 227, 227, 3)).astype(np.float32)
+    ref = np.asarray(Engine(g)(x))
+    pipe = PipelineEngine(g, num_stages=4)
+    out = np.asarray(pipe(x))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    # micro-batched run must agree too (pipeline fill/drain path)
+    out2 = np.asarray(pipe(x, micro_batches=2))
+    np.testing.assert_allclose(out2, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_stage_params_are_disjoint(rng):
+    from feathercnn_tpu.parallel.pipeline import PipelineEngine
+    from feathercnn_tpu.models import MODEL_BUILDERS
+    g = MODEL_BUILDERS["mobilenet_v1"]()
+    pipe = PipelineEngine(g, num_stages=3)
+    names = [set(p.keys()) for p in pipe._stage_params]
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            assert not (names[i] & names[j])

@@ -1,0 +1,139 @@
+"""Region-fusion tests: FusedBottleneck and FusedChain (interpret mode)
+match the per-layer oracle, fp and full-int8 (SURVEY.md §4 items 1-2)."""
+
+import numpy as np
+import pytest
+
+from feathercnn_tpu import Engine, EngineConfig
+from feathercnn_tpu.models.builder import GraphBuilder
+from feathercnn_tpu.quant import calibrate
+
+
+def _cosine(a, b):
+    a, b = np.asarray(a, np.float32).ravel(), np.asarray(b, np.float32).ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def _mini_resnet(batch=2, hw=8, C=64, Cm=16, nblocks=3, seed=3):
+    """Entry conv -> nblocks identity bottlenecks -> exit conv."""
+    b = GraphBuilder("mini_res", seed=seed)
+    x = b.input("data", (batch, hw, hw, C))
+    x = b.conv("conv_in", x, C, 1, relu=True)
+    for i in range(nblocks):
+        a = b.conv(f"blk{i}_c1", x, Cm, 1, relu=True)
+        c2 = b.conv(f"blk{i}_c2", a, Cm, 3, pad=1, relu=True)
+        c3 = b.conv(f"blk{i}_c3", c2, C, 1)
+        s = b.eltwise(f"blk{i}_add", [x, c3])
+        x = b.relu(f"blk{i}_relu", s)
+    x = b.conv("conv_out", x, C, 1, relu=True)
+    return b.finish([x])
+
+
+def test_fuse_blocks_fp_equivalence(rng):
+    g = _mini_resnet()
+    x = rng.normal(size=(2, 8, 8, 64)).astype(np.float32)
+    ref = np.asarray(Engine(g)(x))
+    eng = Engine(g, EngineConfig(fuse_blocks=True, interpret=True))
+    ops = [n.op for n in eng.graph.nodes]
+    assert ops.count("FusedBottleneck") == 3
+    out = np.asarray(eng(x))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_fuse_chains_fp_equivalence(rng):
+    g = _mini_resnet()
+    x = rng.normal(size=(2, 8, 8, 64)).astype(np.float32)
+    ref = np.asarray(Engine(g)(x))
+    eng = Engine(g, EngineConfig(fuse_chains=True, interpret=True))
+    ops = [n.op for n in eng.graph.nodes]
+    assert ops.count("FusedChain") == 1 and "FusedBottleneck" not in ops
+    chain = next(n for n in eng.graph.nodes if n.op == "FusedChain")
+    assert chain.attrs["nb"] == 3
+    out = np.asarray(eng(x))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_fuse_chains_int8_equivalence(rng):
+    g = _mini_resnet()
+    x = rng.normal(size=(2, 8, 8, 64)).astype(np.float32)
+    ref = np.asarray(Engine(g)(x))
+    calibrate(g, [x], method="max")
+    per_layer = np.asarray(Engine(g, EngineConfig(
+        backend="pallas", quant="w8a8", interpret=True))(x))
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 fuse_chains=True, interpret=True))
+    ops = [n.op for n in eng.graph.nodes]
+    assert ops.count("FusedChain") == 1
+    chain = next(n for n in eng.graph.nodes if n.op == "FusedChain")
+    assert chain.attrs["quant"] and len(chain.attrs["sx"]) == 3
+    out = np.asarray(eng(x))
+    # fused chain vs per-layer int8: same math modulo the int8 eltwise
+    # rescale-add ordering; both must track the fp oracle closely
+    assert _cosine(out, per_layer) > 0.999
+    assert _cosine(out, ref) > 0.995
+
+
+def test_fuse_chains_breaks_on_shape_change(rng):
+    """Blocks with different (C, Cm) must not merge into one chain."""
+    b = GraphBuilder("mixed", seed=5)
+    x = b.input("data", (2, 8, 8, 32))
+    x = b.conv("conv_in", x, 32, 1, relu=True)
+    for i, (C, Cm) in enumerate([(32, 8), (32, 8)]):
+        a = b.conv(f"b{i}_c1", x, Cm, 1, relu=True)
+        c2 = b.conv(f"b{i}_c2", a, Cm, 3, pad=1, relu=True)
+        c3 = b.conv(f"b{i}_c3", c2, C, 1)
+        s = b.eltwise(f"b{i}_add", [x, c3])
+        x = b.relu(f"b{i}_relu", s)
+    # projection to a different width, then one more block (not chainable
+    # with the first two)
+    x = b.conv("proj", x, 64, 1, relu=True)
+    a = b.conv("b2_c1", x, 16, 1, relu=True)
+    c2 = b.conv("b2_c2", a, 16, 3, pad=1, relu=True)
+    c3 = b.conv("b2_c3", c2, 64, 1)
+    s = b.eltwise("b2_add", [x, c3])
+    x = b.relu("b2_relu", s)
+    x = b.conv("conv_out", x, 64, 1, relu=True)
+    g = b.finish([x])
+
+    xv = rng.normal(size=(2, 8, 8, 32)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    eng = Engine(g, EngineConfig(fuse_chains=True, interpret=True))
+    ops = [n.op for n in eng.graph.nodes]
+    # first two blocks chain; the third stays a single FusedBottleneck
+    assert ops.count("FusedChain") == 1
+    assert ops.count("FusedBottleneck") == 1
+    out = np.asarray(eng(xv))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_resnet50_chain_fusion_counts():
+    """ResNet-50 fp: stage-3 (28^2, 3 id blocks) and stage-4 (14^2, 5 id
+    blocks) chain; stage-2 (56^2 temporaries) and stage-5 (9 MB bf16
+    weights) are VMEM-gated out."""
+    from feathercnn_tpu.models import MODEL_BUILDERS
+    g = MODEL_BUILDERS["resnet50"](batch=1, with_softmax=False)
+    eng = Engine(g, EngineConfig(fuse_chains=True, interpret=True))
+    chains = [n for n in eng.graph.nodes if n.op == "FusedChain"]
+    # stage-4's 5 blocks split 3+2: five blocks' bf16 weights (11 MB)
+    # overflow the resident-weight budget
+    assert sorted(n.attrs["nb"] for n in chains) == [2, 3, 3]
+    out = np.asarray(eng(np.zeros((1, 224, 224, 3), np.float32)))
+    assert out.shape == (1, 1000)
+
+
+def test_resnet50_chain_fusion_counts_int8(rng):
+    """Full-int8 ResNet-50: int8 weights fit whole stages — stages 3/4/5
+    chain completely (10 of 12 identity blocks; stage-2's 56x56
+    temporaries stay per-layer)."""
+    from feathercnn_tpu.models import MODEL_BUILDERS
+    from feathercnn_tpu.quant import calibrate
+    g = MODEL_BUILDERS["resnet50"](batch=1, with_softmax=False)
+    calibrate(g, [rng.normal(size=(1, 224, 224, 3)).astype(np.float32)],
+              method="max")
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 fuse_chains=True, interpret=True))
+    chains = [n for n in eng.graph.nodes if n.op == "FusedChain"]
+    singles = [n for n in eng.graph.nodes if n.op == "FusedBottleneck"]
+    assert sorted(n.attrs["nb"] for n in chains) == [2, 3, 5]
+    assert not singles
+    assert all(n.attrs["quant"] for n in chains)
