@@ -51,7 +51,13 @@ def graph_flops(graph) -> float:
     total = 0.0
     for n in graph.nodes:
         spec = graph.specs[n.outputs[0]]
-        if n.op == "Convolution":
+        if n.op in ("FusedBottleneck", "FusedChain"):
+            _, oh, ow, c = spec.shape
+            w1 = graph.params[n.params[0]]
+            cm = w1.shape[-1]
+            nb = n.attrs.get("nb", 1)
+            total += 2.0 * oh * ow * (2 * c * cm + 9 * cm * cm) * nb
+        elif n.op == "Convolution":
             kh = n.attrs.get("kernel_h", n.attrs.get("kernel_size", 1))
             kw = n.attrs.get("kernel_w", n.attrs.get("kernel_size", 1))
             group = n.attrs.get("group", 1)
@@ -177,6 +183,8 @@ def main():
         args.algo = None
 
     import jax
+    from feathercnn_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     log(f"devices: {jax.devices()}")
 
     if args.all:

@@ -27,7 +27,11 @@ def main():
     ap.add_argument("--nb", type=int, default=0, help="0 = stage default")
     ap.add_argument("--what", default="chain,xla,block",
                     help="comma list: chain|xla|block")
+    ap.add_argument("--plan", default=None,
+                    help="chunk,slab_rows override for the chain kernel")
     args = ap.parse_args()
+    plan = (tuple(int(v) for v in args.plan.split(","))
+            if args.plan else None)
 
     import jax
     import jax.numpy as jnp
@@ -59,10 +63,9 @@ def main():
     what = args.what.split(",")
 
     if "chain" in what:
-        from feathercnn_tpu.kernels.fused_chain import fused_chain
-        import functools
-        fn = functools.partial(
-            fused_chain, scales=scales)
+        from feathercnn_tpu.kernels.fused_chain import chain_plan, fused_chain
+        eff = plan or chain_plan(N, HW, HW, C, Cm, nb, 1, 1)
+        print(f"plan: chunk={eff[0]} slab={eff[1]}", flush=True)
         t = device_bench(
             lambda a: fused_chain(a, jnp.asarray(w1), jnp.asarray(b1),
                                   jnp.asarray(w2), jnp.asarray(b2),
@@ -70,24 +73,24 @@ def main():
                                   w_scales=(jnp.asarray(w1s),
                                             jnp.asarray(w2s),
                                             jnp.asarray(w3s)),
-                                  scales=scales),
+                                  scales=scales, plan_override=plan),
             [jnp.asarray(x8)], iters=20)
         print(f"chain : {t*1e3:8.3f} ms  {flops/t/1e12:7.1f} TOP/s",
               flush=True)
 
     if "block" in what:
-        from feathercnn_tpu.kernels.fused_block import fused_bottleneck
+        from feathercnn_tpu.kernels.fused_chain import fused_chain
 
         def blocks(a):
             for j in range(nb):
-                a = fused_bottleneck(
-                    a, jnp.asarray(w1[j]), jnp.asarray(b1[j]),
-                    jnp.asarray(w2[j].reshape(3, 3, Cm, Cm)),
-                    jnp.asarray(b2[j]), jnp.asarray(w3[j]),
-                    jnp.asarray(b3[j]),
-                    w_scales=(jnp.asarray(w1s[j]), jnp.asarray(w2s[j]),
-                              jnp.asarray(w3s[j])),
-                    scales=(s, s, s, s))
+                a = fused_chain(
+                    a, jnp.asarray(w1[j:j + 1]), jnp.asarray(b1[j:j + 1]),
+                    jnp.asarray(w2[j:j + 1]), jnp.asarray(b2[j:j + 1]),
+                    jnp.asarray(w3[j:j + 1]), jnp.asarray(b3[j:j + 1]),
+                    w_scales=(jnp.asarray(w1s[j:j + 1]),
+                              jnp.asarray(w2s[j:j + 1]),
+                              jnp.asarray(w3s[j:j + 1])),
+                    scales=((s,), (s,), (s,), s))
             return a
         t = device_bench(blocks, [jnp.asarray(x8)], iters=20)
         print(f"block : {t*1e3:8.3f} ms  {flops/t/1e12:7.1f} TOP/s",

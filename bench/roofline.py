@@ -135,7 +135,7 @@ def measure_algos(graph, rows, dtype, quant, iters=20, only_algos=None):
             fn = functools.partial(dispatch.conv_forward, n, ctx=ctx)
             try:
                 t = device_bench(lambda a: fn(a, w, bias), [x], iters=iters)
-                row["measured_ms"][algo] = round(t * 1e3, 4)
+                row["measured_ms"][algo] = round(max(t, 1e-7) * 1e3, 5)
             except Exception as e:
                 row["measured_ms"][algo] = f"FAIL:{type(e).__name__}"
         ok = [(v, k) for k, v in row["measured_ms"].items()
@@ -166,6 +166,8 @@ def main():
 
     from feathercnn_tpu import Engine, EngineConfig
     from feathercnn_tpu.models import MODEL_BUILDERS
+    from feathercnn_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     g = MODEL_BUILDERS[args.model](batch=args.batch, with_softmax=False)
     eng = Engine(g, EngineConfig(compute_dtype=args.dtype,

@@ -53,9 +53,10 @@ class Engine:
         if self.config.fuse_blocks or self.config.fuse_chains:
             from .passes_fusion import fuse_bottlenecks, fuse_chains
             infer_shapes(self.graph)  # fresh specs for the VMEM gate
-            fuse_bottlenecks(self.graph)
+            act_item = jnp.dtype(self.config.compute_dtype).itemsize
+            fuse_bottlenecks(self.graph, act_itemsize=act_item)
             if self.config.fuse_chains:
-                fuse_chains(self.graph)
+                fuse_chains(self.graph, act_itemsize=act_item)
         if self.config.s2d_stem:
             from .passes_stem import space_to_depth_stem
             infer_shapes(self.graph)

@@ -167,30 +167,31 @@ def _lower_s2d(node, inputs, params, ctx):
 
 @register_lowering("FusedBottleneck")
 def _lower_fused_block(node, inputs, params, ctx):
-    """VMEM-resident bottleneck (passes_fusion.py -> kernels/fused_block)."""
-    from ..kernels.fused_block import fused_bottleneck
+    """VMEM-resident bottleneck: a 1-block chain (kernels/fused_chain)."""
+    from ..kernels.fused_chain import fused_chain
     x = inputs[0]
     w1, b1, w2, b2, w3, b3 = params
-    # Graph weights are HWIO; the fused kernel wants bare matrices for
-    # the 1x1s.
-    w1 = w1.reshape(w1.shape[-2], w1.shape[-1])
-    w3 = w3.reshape(w3.shape[-2], w3.shape[-1])
+    # Graph weights are HWIO; the chain kernel wants stacked matrices.
+    C, Cm = w1.shape[-2], w1.shape[-1]
+    w1 = w1.reshape(1, C, Cm)
+    w2 = w2.reshape(1, 9 * Cm, Cm)
+    w3 = w3.reshape(1, Cm, C)
+    b1, b2, b3 = (b.reshape(1, -1) for b in (b1, b2, b3))
     q = ctx.qinfo(node)
     if node.attrs.get("quant") and q is not None:
         s_x = node.attrs["s_x"]
         if x.dtype != jnp.int8:
             x = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
                          -127, 127).astype(jnp.int8)
-        ws = tuple(jnp.asarray(s) for s in q["w_scales"])
-        scales = (s_x, node.attrs["s_y1"], node.attrs["s_y2"],
+        ws = tuple(jnp.asarray(s).reshape(1, -1) for s in q["w_scales"])
+        scales = ((s_x,), (node.attrs["s_y1"],), (node.attrs["s_y2"],),
                   node.attrs.get("s_out"))
-        y = fused_bottleneck(x, w1, b1, w2, b2, w3, b3, w_scales=ws,
-                             scales=scales, interpret=ctx.config.interpret)
+        y = fused_chain(x, w1, b1, w2, b2, w3, b3, w_scales=ws,
+                        scales=scales, interpret=ctx.config.interpret)
     else:
         cd = x.dtype
-        y = fused_bottleneck(x, w1.astype(cd), b1, w2.astype(cd), b2,
-                             w3.astype(cd), b3,
-                             interpret=ctx.config.interpret)
+        y = fused_chain(x, w1.astype(cd), b1, w2.astype(cd), b2,
+                        w3.astype(cd), b3, interpret=ctx.config.interpret)
     return [y]
 
 
@@ -243,10 +244,11 @@ def _lower_pool(node, inputs, params, ctx):
     pad_cfg = ((0, 0), (ph, ph + extra_h), (pw, pw + extra_w), (0, 0))
 
     if mode == "MAX":
-        neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) \
-            else jnp.iinfo(x.dtype).min
+        neg = (jnp.finfo(x.dtype).min
+               if jnp.issubdtype(x.dtype, jnp.floating)
+               else jnp.iinfo(x.dtype).min)
         y = jax.lax.reduce_window(
-            x, neg, jax.lax.max,
+            x, jnp.asarray(neg, x.dtype), jax.lax.max,
             window_dimensions=(1, kh, kw, 1),
             window_strides=(1, sh, sw, 1),
             padding=pad_cfg,

@@ -36,8 +36,10 @@ def _conv_is(n: Node, k: int, act, stride=1) -> bool:
     return a.get("activation") == act
 
 
-def fuse_bottlenecks(graph: Graph) -> int:
-    """Returns the number of blocks fused."""
+def fuse_bottlenecks(graph: Graph, act_itemsize: int = 2) -> int:
+    """Returns the number of blocks fused.  ``act_itemsize`` is the float
+    activation byte width (2 bf16 / 4 f32) used by the VMEM gate for
+    non-quantized blocks."""
     producers = graph.producers()
     consumers = graph.consumers()
     qmeta = graph.meta.get("quant", {})
@@ -78,14 +80,14 @@ def fuse_bottlenecks(graph: Graph) -> int:
                 quant = all(m.name in qmeta
                             and qmeta[m.name].get("x_scale") is not None
                             for m in (a, b, c)) if qmeta else False
-                # VMEM gate: even a single image's temporaries + resident
-                # weights must fit (56x56 ResNet stage-2 blocks don't —
-                # they stay per-layer).
-                from .kernels.fused_chain import chain_vmem_bytes
-                w_item = 1 if quant else 2
-                wbytes = (C * Cm + 9 * Cm * Cm + Cm * C) * w_item
-                if chain_vmem_bytes(1, H, W, C, Cm, w_item,
-                                    wbytes) > 9 * 1024 * 1024:
+                # VMEM gate: a single-image, min-slab plan must exist
+                # (row-slab tiling admits 56x56 int8; fp stage-2 still
+                # overflows on bf16 I/O buffers).
+                from .kernels.fused_chain import chain_plan
+                # fp weights are cast to the compute dtype at lowering,
+                # so they share the activation byte width
+                a_item = w_item = 1 if quant else act_itemsize
+                if chain_plan(1, H, W, C, Cm, 1, a_item, w_item) is None:
                     continue
                 meta = {}
                 if quant:
@@ -137,7 +139,7 @@ def fuse_bottlenecks(graph: Graph) -> int:
     return fused
 
 
-def fuse_chains(graph: Graph) -> int:
+def fuse_chains(graph: Graph, act_itemsize: int = 2) -> int:
     """Merge runs of same-shape FusedBottleneck nodes into FusedChain nodes.
 
     All identity blocks inside one ResNet stage share an (H, W, C, Cm)
@@ -190,16 +192,17 @@ def fuse_chains(graph: Graph) -> int:
 
     # Split runs whose resident weights + chunk-1 temporaries overflow
     # VMEM (e.g. ResNet stage-5: 2 blocks x 4.5 MB int8 weights).
-    from .kernels.fused_chain import chain_vmem_bytes
+    from .kernels.fused_chain import chain_plan
 
     def fits(blocks):
         x_val = blocks[0].inputs[0]
         _, H, W, C = graph.specs[x_val].shape
         w2 = graph.params[blocks[0].params[2]]
         Cm = w2.shape[-1]
-        item = w2.dtype.itemsize if w2.dtype == np.int8 else 2
-        wb = (C * Cm + 9 * Cm * Cm + Cm * C) * item * len(blocks)
-        return chain_vmem_bytes(1, H, W, C, Cm, item, wb) <= 10 * 1024 * 1024
+        quant = w2.dtype == np.int8
+        a_item = w_item = 1 if quant else act_itemsize
+        return chain_plan(1, H, W, C, Cm, len(blocks), a_item,
+                          w_item) is not None
 
     split_runs: List[List[Node]] = []
     for blocks in runs:

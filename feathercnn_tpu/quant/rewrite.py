@@ -47,48 +47,88 @@ def quantize_graph(graph, mode: str) -> None:
         return
     consumers = graph.consumers()
 
-    # Residual adds on int8 edges: an Eltwise SUM whose operand and output
-    # scales are calibrated and whose consumers all take int8 computes
-    # y = clip(round((sum_i x_i * s_i) / s_y)) — the rescale-add replaces
-    # two bf16 reads + one bf16 write with int8 traffic.  Marked in
-    # reverse topological order so chained adds resolve.
-    def _takes_int8(c, value):
-        info = qmeta.get(c.name)
-        if info is None:
-            return False
-        if c.op in ("Convolution", "InnerProduct"):
-            return info.get("x_scale") is not None and c.inputs[0] == value
-        if c.op == "Eltwise":
-            return bool(info.get("eltwise_int8"))
+    # ------------------------------------------------------------------
+    # int8-edge propagation, one reverse-topological pass.
+    #
+    # A value becomes an int8 edge when EVERY consumer accepts int8 on it
+    # at one agreed scale:
+    #   - a quantized conv/FC accepts int8 on its data input at x_scale;
+    #   - an int8 Eltwise SUM accepts each operand at its calibrated
+    #     value scale (dequant-accumulate in registers);
+    #   - a *scale-transparent* op (MAX pooling, Concat, Slice, Split,
+    #     Flatten, Reshape, Dropout) accepts int8 at whatever scale its
+    #     own output edge carries — max/concat/reshape commute with the
+    #     (monotone, elementwise) quantization, so int8 rides through.
+    # The producer then requantizes in its epilogue (emit_int8/y_scale,
+    # kernels/matmul.py out_scale) — no standalone quantize op, half the
+    # HBM traffic on the edge.  The reference has no analog (fp32-only);
+    # this is the BASELINE.json:10 capability.
+    # ------------------------------------------------------------------
+
+    def _transparent(n) -> bool:
+        if n.op in ("Concat", "Slice", "Split", "Flatten", "Reshape",
+                    "Dropout"):
+            return True
+        if n.op == "Pooling":
+            return n.attrs.get("pool", "MAX") == "MAX"
         return False
+
+    edge_scale = {}     # value name -> int8 scale it will carry
+
+    def _accepts(c, value):
+        """Scale at which consumer c takes int8 on `value`, else None."""
+        info = qmeta.get(c.name)
+        if c.op in ("Convolution", "InnerProduct"):
+            if info and info.get("x_scale") is not None \
+                    and c.inputs[0] == value:
+                return float(info["x_scale"])
+            return None
+        if c.op == "Eltwise":
+            if info and info.get("eltwise_int8"):
+                s = value_scales.get(value)
+                return float(s) if s is not None else None
+            return None
+        if _transparent(c):
+            s = edge_scale.get(c.outputs[0])
+            if s is not None and all(
+                    edge_scale.get(o) == s for o in c.outputs):
+                return s
+            return None
+        return None
+
+    def _edge_scale_for(out):
+        cons = consumers.get(out, [])
+        if not cons or out in graph.outputs:
+            return None
+        scales = [_accepts(c, out) for c in cons]
+        if any(s is None for s in scales):
+            return None
+        if len(set(scales)) != 1:
+            return None
+        return scales[0]
 
     for n in reversed(graph.nodes):
         if (n.op == "Eltwise" and n.attrs.get("operation", "SUM") == "SUM"
                 and not n.attrs.get("coeffs")):
             out = n.outputs[0]
-            y_scale = value_scales.get(out)
-            cons = consumers.get(out, [])
-            if (y_scale is not None and cons and out not in graph.outputs
-                    and all(v in value_scales for v in n.inputs)
-                    and all(_takes_int8(c, out) for c in cons)):
+            y_scale = _edge_scale_for(out)
+            if (y_scale is not None
+                    and all(v in value_scales for v in n.inputs)):
                 qmeta[n.name] = {
                     "eltwise_int8": True,
                     "in_scales": [float(value_scales[v]) for v in n.inputs],
                     "y_scale": float(y_scale),
                 }
-
-    # int8 edge propagation: a quantized producer whose every consumer
-    # takes int8 at the producer's output scale emits int8 directly from
-    # its epilogue (requant fused, kernels/matmul.py out_scale) — no
-    # standalone quantize pass, half the HBM traffic.
-    for n in graph.nodes:
+        elif _transparent(n):
+            ss = [_edge_scale_for(o) for o in n.outputs]
+            if all(s is not None for s in ss) and len(set(ss)) == 1:
+                for o in n.outputs:
+                    edge_scale[o] = ss[0]
+                qmeta[n.name] = {"passthrough_int8": True,
+                                 "y_scale": float(ss[0])}
         info = qmeta.get(n.name)
-        if info is None or "x_scale" not in info:
-            continue
-        out = n.outputs[0]
-        y_scale = value_scales.get(out)
-        cons = consumers.get(out, [])
-        if (y_scale is not None and cons and out not in graph.outputs
-                and all(_takes_int8(c, out) for c in cons)):
-            info["emit_int8"] = True
-            info["y_scale"] = float(y_scale)
+        if info is not None and "x_scale" in info:
+            y_scale = _edge_scale_for(n.outputs[0])
+            if y_scale is not None:
+                info["emit_int8"] = True
+                info["y_scale"] = float(y_scale)

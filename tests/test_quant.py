@@ -86,3 +86,36 @@ def test_w8_without_calibration_runs(rng):
                                  interpret=True))
     out = eng(rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
     assert np.asarray(out).shape == (2, 10)
+
+
+def test_int8_edge_through_maxpool_and_concat(rng):
+    """Scale-transparent ops (MAX pool, Concat) carry int8 edges: the
+    stem conv emits int8, pooling/concat run on int8, consumers read it
+    (quant/rewrite.py reverse-topo pass)."""
+    b = GraphBuilder("stemmy", seed=9)
+    x = b.input("data", (2, 16, 16, 8))
+    y = b.conv("stem", x, 16, 3, pad=1, relu=True)
+    y = b.pool("pool1", y, 2, 2, mode="MAX")
+    l = b.conv("left", y, 8, 1, relu=True)
+    r = b.conv("right", y, 8, 1, relu=True)
+    m = b.concat("cat", [l, r])
+    y = b.conv("head", m, 16, 3, pad=1, relu=True)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 10)
+    g = b.finish([y])
+
+    x_val = rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g)(x_val))
+    calibrate(g, [x_val], method="max")
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 interpret=True))
+    qm = eng.graph.meta["quant"]
+    assert qm["stem"].get("emit_int8") is True
+    assert qm["pool1"].get("passthrough_int8") is True
+    assert qm["cat"].get("passthrough_int8") is True
+    assert qm["left"].get("emit_int8") is True
+    assert qm["right"].get("emit_int8") is True
+    # concat inputs requantize to the concat output scale
+    assert qm["left"]["y_scale"] == qm["cat"]["y_scale"]
+    out = np.asarray(eng(x_val))
+    assert _cosine(ref, out) > 0.997

@@ -73,6 +73,33 @@ def test_fuse_chains_int8_equivalence(rng):
     assert _cosine(out, ref) > 0.995
 
 
+def test_fuse_chains_int8_float_out(rng):
+    """Chain whose consumer is NOT quantized (global AVE pool): the last
+    block dequantizes to float in its epilogue (s_out=None path)."""
+    b = GraphBuilder("mini_res_fp_out", seed=7)
+    x = b.input("data", (2, 8, 8, 64))
+    x = b.conv("conv_in", x, 64, 1, relu=True)
+    for i in range(2):
+        a = b.conv(f"blk{i}_c1", x, 16, 1, relu=True)
+        c2 = b.conv(f"blk{i}_c2", a, 16, 3, pad=1, relu=True)
+        c3 = b.conv(f"blk{i}_c3", c2, 64, 1)
+        s = b.eltwise(f"blk{i}_add", [x, c3])
+        x = b.relu(f"blk{i}_relu", s)
+    x = b.pool("gap", x, 0, mode="AVE", global_pooling=True)
+    x = b.fc("fc", x, 10)
+    g = b.finish([x])
+
+    xv = rng.normal(size=(2, 8, 8, 64)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    calibrate(g, [xv], method="max")
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 fuse_chains=True, interpret=True))
+    chain = next(n for n in eng.graph.nodes if n.op == "FusedChain")
+    assert chain.attrs["s_out"] is None
+    out = np.asarray(eng(xv))
+    assert _cosine(ref, out) > 0.998
+
+
 def test_fuse_chains_breaks_on_shape_change(rng):
     """Blocks with different (C, Cm) must not merge into one chain."""
     b = GraphBuilder("mixed", seed=5)
@@ -107,16 +134,20 @@ def test_fuse_chains_breaks_on_shape_change(rng):
 
 
 def test_resnet50_chain_fusion_counts():
-    """ResNet-50 fp: stage-3 (28^2, 3 id blocks) and stage-4 (14^2, 5 id
-    blocks) chain; stage-2 (56^2 temporaries) and stage-5 (9 MB bf16
-    weights) are VMEM-gated out."""
+    """ResNet-50 bf16: row-slab tiling admits every identity block
+    (stage-4 splits on the resident-weight budget; stage-5 blocks stay
+    single — 2 x 9 MB bf16 weights don't chain)."""
     from feathercnn_tpu.models import MODEL_BUILDERS
     g = MODEL_BUILDERS["resnet50"](batch=1, with_softmax=False)
-    eng = Engine(g, EngineConfig(fuse_chains=True, interpret=True))
+    eng = Engine(g, EngineConfig(fuse_chains=True, interpret=True,
+                                 compute_dtype="bfloat16"))
     chains = [n for n in eng.graph.nodes if n.op == "FusedChain"]
-    # stage-4's 5 blocks split 3+2: five blocks' bf16 weights (11 MB)
-    # overflow the resident-weight budget
-    assert sorted(n.attrs["nb"] for n in chains) == [2, 3, 3]
+    singles = [n for n in eng.graph.nodes if n.op == "FusedBottleneck"]
+    covered = sum(n.attrs["nb"] for n in chains) + len(singles)
+    assert covered == 12
+    # at f32 the 4x-wider buffers gate out 56x56 and chaining entirely
+    eng32 = Engine(g, EngineConfig(fuse_chains=True, interpret=True))
+    assert not [n for n in eng32.graph.nodes if n.op == "FusedChain"]
     out = np.asarray(eng(np.zeros((1, 224, 224, 3), np.float32)))
     assert out.shape == (1, 1000)
 
@@ -134,6 +165,36 @@ def test_resnet50_chain_fusion_counts_int8(rng):
                                  fuse_chains=True, interpret=True))
     chains = [n for n in eng.graph.nodes if n.op == "FusedChain"]
     singles = [n for n in eng.graph.nodes if n.op == "FusedBottleneck"]
-    assert sorted(n.attrs["nb"] for n in chains) == [2, 3, 5]
+    # int8 fits everything incl. 56x56 (row slabs): all 12 identity
+    # blocks fuse — stage-2's 2, stage-3's 3, stage-4's 5, stage-5's 2
+    assert sorted(n.attrs["nb"] for n in chains) == [2, 2, 3, 5]
     assert not singles
     assert all(n.attrs["quant"] for n in chains)
+
+
+def test_chain_row_slabs_exact(rng):
+    """Force a tiny VMEM budget so the kernel takes the row-slab path
+    (halo handling) and compare against the generous-budget result."""
+    import jax.numpy as jnp
+    from feathercnn_tpu.kernels.fused_chain import chain_plan, fused_chain
+    N, H, W, C, Cm, nb = 2, 8, 8, 32, 16, 2
+    x = rng.normal(size=(N, H, W, C)).astype(np.float32)
+    w1 = rng.normal(size=(nb, C, Cm)).astype(np.float32) * 0.1
+    w2 = rng.normal(size=(nb, 9 * Cm, Cm)).astype(np.float32) * 0.1
+    w3 = rng.normal(size=(nb, Cm, C)).astype(np.float32) * 0.1
+    b1 = rng.normal(size=(nb, Cm)).astype(np.float32)
+    b2 = rng.normal(size=(nb, Cm)).astype(np.float32)
+    b3 = rng.normal(size=(nb, C)).astype(np.float32)
+    # find a budget that forces row slabs (R < H) but stays feasible
+    small = None
+    for budget in (512, 256, 192, 128, 96, 64):
+        plan = chain_plan(N, H, W, C, Cm, nb, 4, 4, budget=budget * 1024)
+        if plan is not None and plan[1] < H:
+            small = budget * 1024
+            break
+    assert small is not None, "no slab-forcing budget found"
+    ref = np.asarray(fused_chain(jnp.asarray(x), w1, b1, w2, b2, w3, b3,
+                                 interpret=True))
+    out = np.asarray(fused_chain(jnp.asarray(x), w1, b1, w2, b2, w3, b3,
+                                 interpret=True, vmem_budget=small))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)

@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def tune(graph, dtype: str, quant, iters: int = 15):
     from bench.roofline import layer_table, measure_algos
+    from feathercnn_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     rows = layer_table(graph, quant)
     rows = measure_algos(graph, rows, dtype, quant, iters=iters)
     overrides = {}
