@@ -29,6 +29,8 @@ def main():
                     help="comma list: chain|xla|block")
     ap.add_argument("--plan", default=None,
                     help="chunk,slab_rows override for the chain kernel")
+    ap.add_argument("--fold", type=int, default=None,
+                    help="conv2 tap fold (1|3|9)")
     args = ap.parse_args()
     plan = (tuple(int(v) for v in args.plan.split(","))
             if args.plan else None)
@@ -73,7 +75,8 @@ def main():
                                   w_scales=(jnp.asarray(w1s),
                                             jnp.asarray(w2s),
                                             jnp.asarray(w3s)),
-                                  scales=scales, plan_override=plan),
+                                  scales=scales, plan_override=plan,
+                                  conv2_fold=args.fold),
             [jnp.asarray(x8)], iters=20)
         print(f"chain : {t*1e3:8.3f} ms  {flops/t/1e12:7.1f} TOP/s",
               flush=True)
@@ -95,6 +98,77 @@ def main():
         t = device_bench(blocks, [jnp.asarray(x8)], iters=20)
         print(f"block : {t*1e3:8.3f} ms  {flops/t/1e12:7.1f} TOP/s",
               flush=True)
+
+    if "ctx" in what:
+        # in-graph context probe: producer conv -> region -> consumer
+        # conv, region = chain kernel vs per-layer XLA.  Isolates the
+        # custom-call boundary cost that whole-model benches see.
+        from feathercnn_tpu.kernels.fused_chain import fused_chain
+        win = jnp.asarray(rng.integers(-127, 128, size=(1, 1, C, C),
+                                       dtype=np.int8))
+        wout = jnp.asarray(rng.integers(-127, 128, size=(1, 1, C, C // 2),
+                                        dtype=np.int8))
+
+        def prod(a):
+            y = jax.lax.conv_general_dilated(
+                a, win, (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = jnp.maximum(y.astype(jnp.float32) * (1e-3 * s), 0)
+            return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+
+        def cons(a):
+            y = jax.lax.conv_general_dilated(
+                a, wout, (2, 2), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return y.astype(jnp.float32).sum()
+
+        def region_chain(a):
+            return fused_chain(prod(a), jnp.asarray(w1), jnp.asarray(b1),
+                               jnp.asarray(w2), jnp.asarray(b2),
+                               jnp.asarray(w3), jnp.asarray(b3),
+                               w_scales=(jnp.asarray(w1s),
+                                         jnp.asarray(w2s),
+                                         jnp.asarray(w3s)),
+                               scales=scales, plan_override=plan)
+
+        t = device_bench(lambda a: cons(region_chain(a)), [jnp.asarray(x8)],
+                         iters=20)
+        print(f"ctx-chain : {t*1e3:8.3f} ms", flush=True)
+
+        import jax as _jax
+
+        def xla_chain_body(a):
+            for j in range(nb):
+                x_in = a
+                y = _jax.lax.conv_general_dilated(
+                    a, jnp.asarray(w1[j].reshape(1, 1, C, Cm)), (1, 1),
+                    ((0, 0), (0, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                y = jnp.maximum(y.astype(jnp.float32) * (w1s[j] * s), 0)
+                y = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+                y = _jax.lax.conv_general_dilated(
+                    y, jnp.asarray(w2[j].reshape(3, 3, Cm, Cm)), (1, 1),
+                    ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                y = jnp.maximum(y.astype(jnp.float32) * (w2s[j] * s), 0)
+                y = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+                y = _jax.lax.conv_general_dilated(
+                    y, jnp.asarray(w3[j].reshape(1, 1, Cm, C)), (1, 1),
+                    ((0, 0), (0, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                y = y.astype(jnp.float32) * (w3s[j] * s)
+                y = jnp.maximum(y + x_in.astype(jnp.float32) * s, 0)
+                a = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+            return a
+
+        t = device_bench(lambda a: cons(xla_chain_body(prod(a))),
+                         [jnp.asarray(x8)], iters=20)
+        print(f"ctx-xla   : {t*1e3:8.3f} ms", flush=True)
 
     if "xla" in what:
         # per-layer XLA int8 convs with int8 edges (the production path)

@@ -92,17 +92,25 @@ def _block_math(act_get, y1_set, y1_slab_get, sc_get, out_set, *,
                                      1 if r1 == H else 0),
                             (1, 1), (0, 0)))
         if cat_scr is not None:
-            for kh in range(3):
-                for kw in range(3):
-                    k = kh * 3 + kw
-                    cat_scr[:, :, :, k * Cm:(k + 1) * Cm] = (
+            fold = cat_scr.shape[-1] // Cm        # 3 or 9 taps per GEMM
+            groups = ([[(kh, kw) for kh in range(3) for kw in range(3)]]
+                      if fold == 9 else
+                      [[(kh, kw) for kw in range(3)] for kh in range(3)])
+            a2 = jnp.zeros((Ms, Cm), jnp.float32)
+            for gi, taps in enumerate(groups):
+                for ti, (kh, kw) in enumerate(taps):
+                    cat_scr[:, :, :, ti * Cm:(ti + 1) * Cm] = (
                         y1p[:, kh:kh + R, kw:kw + W, :])
-            cat = cat_scr[:].reshape(Ms, 9 * Cm)
+                cat = cat_scr[:].reshape(Ms, fold * Cm)
+                wk = w2[gi * fold * Cm:(gi + 1) * fold * Cm, :]
+                if int8:
+                    a2 += jnp.dot(cat, wk, preferred_element_type=jnp.int32
+                                  ).astype(jnp.float32)
+                else:
+                    a2 += jnp.dot(cat, wk,
+                                  preferred_element_type=jnp.float32)
             if int8:
-                a2 = jnp.dot(cat, w2, preferred_element_type=jnp.int32
-                             ).astype(jnp.float32) * (w2s * s_y1)
-            else:
-                a2 = jnp.dot(cat, w2, preferred_element_type=jnp.float32)
+                a2 = a2 * (w2s * s_y1)
         else:
             a2 = jnp.zeros((Ms, Cm), jnp.float32)
             for kh in range(3):
@@ -146,8 +154,6 @@ def _chain_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     dtype = x_ref.dtype
     cat_scr = scratches[0] if scratches else None
 
-    act_scr[:] = x_ref[0]
-
     def y1_set(r0, r1, val):
         y1_scr[:, r0:r1] = val
 
@@ -158,8 +164,14 @@ def _chain_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
         last = j == nb - 1
         requant = int8 and (not last or out_int8)
 
-        def act_get(r0, r1):
-            return act_scr[:, r0:r1]
+        if j == 0:
+            # block 0 reads straight from the streamed-in x block — no
+            # whole-chunk copy into the activation scratch
+            def act_get(r0, r1):
+                return x_ref[0, :, r0:r1]
+        else:
+            def act_get(r0, r1):
+                return act_scr[:, r0:r1]
 
         if last:
             def out_set(r0, r1, val):
@@ -182,8 +194,23 @@ def _chain_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
             store_dtype=o_ref.dtype if last else dtype)
 
 
+def region_worth_fusing(H, W, C, Cm, quant: bool) -> bool:
+    """Default region-fusion policy: OFF, from round-1 on-device data
+    (BASELINE.md).  Isolated, the chain kernel beats XLA at HBM-bound
+    56x56 shapes (1.38 vs 1.98 ms per b128 pair) — but measured *in
+    context* (producer conv -> region -> consumer conv) XLA's per-layer
+    int8 path runs near the bandwidth roofline (0.99 ms for the whole
+    probe) while the pallas custom-call boundary adds ~1 ms of
+    relayout/scheduling cost (2.41 ms).  Whole-model: chains regressed
+    22.3k -> 18.7k img/s.  The kernel + planner stay for backends where
+    the boundary is cheap; enable per signature via
+    graph.meta['chain_regions'] after measuring with
+    tools/autotune.py --regions (which compares in-context)."""
+    return False
+
+
 def chain_plan(N, H, W, C, Cm, nb, act_item, w_item,
-               budget=10 * 1024 * 1024):
+               budget=13 * 1024 * 1024 + 512 * 1024):
     """(chunk, slab_rows) such that the kernel fits ``budget`` VMEM, or
     None if even (1, min_slab) overflows."""
     wbytes = (C * Cm + 9 * Cm * Cm + Cm * C) * w_item * nb
@@ -241,15 +268,16 @@ def chain_vmem_bytes(chunk, H, W, C, Cm, act_item, wbytes_total,
 @functools.partial(
     jax.jit,
     static_argnames=("scales", "out_dtype", "interpret", "vmem_budget",
-                     "plan_override"))
+                     "plan_override", "conv2_fold"))
 def fused_chain(x: jnp.ndarray,
                 w1, b1, w2, b2, w3, b3,
                 w_scales=None,
                 scales: Optional[tuple] = None,
                 out_dtype=None,
                 interpret: bool = False,
-                vmem_budget: int = 10 * 1024 * 1024,
-                plan_override: Optional[tuple] = None) -> jnp.ndarray:
+                vmem_budget: int = 13 * 1024 * 1024 + 512 * 1024,
+                plan_override: Optional[tuple] = None,
+                conv2_fold: Optional[int] = None) -> jnp.ndarray:
     """Run ``nb`` chained identity bottlenecks in one pallas_call.
 
     x: (N,H,W,C) int8 (full-int8 mode) or bf16/f32.
@@ -278,6 +306,7 @@ def fused_chain(x: jnp.ndarray,
                   + [1.0 / s_out if out_int8 else 1.0])
 
     itemsize = jnp.dtype(x.dtype).itemsize
+    fold = conv2_fold or (9 if _use_im2col(Cm) else 1)
     plan = plan_override or chain_plan(
         N, H, W, C, Cm, nb, itemsize, w1.dtype.itemsize,
         budget=vmem_budget)
@@ -323,9 +352,9 @@ def fused_chain(x: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((chunk, H, W, C), x.dtype),
             pltpu.VMEM((chunk, H, W, Cm), jnp.int8 if int8 else x.dtype),
-        ] + ([pltpu.VMEM((chunk, R, W, 9 * Cm),
+        ] + ([pltpu.VMEM((chunk, R, W, fold * Cm),
                          jnp.int8 if int8 else x.dtype)]
-             if _use_im2col(Cm) else []),
+             if fold > 1 else []),
         cost_estimate=pl.CostEstimate(
             flops=2 * N * H * W * (C * Cm * 2 + 9 * Cm * Cm) * nb,
             bytes_accessed=int(2 * N * H * W * C * itemsize + wbytes),

@@ -80,10 +80,18 @@ def fuse_bottlenecks(graph: Graph, act_itemsize: int = 2) -> int:
                 quant = all(m.name in qmeta
                             and qmeta[m.name].get("x_scale") is not None
                             for m in (a, b, c)) if qmeta else False
-                # VMEM gate: a single-image, min-slab plan must exist
-                # (row-slab tiling admits 56x56 int8; fp stage-2 still
-                # overflows on bf16 I/O buffers).
-                from .kernels.fused_chain import chain_plan
+                # Region policy: fuse only HBM-bound signatures (56x56
+                # class) unless the model's autotuned region table says
+                # otherwise; then a single-image min-slab VMEM plan must
+                # exist.
+                from .kernels.fused_chain import (chain_plan,
+                                                  region_worth_fusing)
+                regions = graph.meta.get("chain_regions", {})
+                key = f"{H}x{W}x{C}x{Cm}"
+                worth = regions.get(key, regions.get(
+                    "*", region_worth_fusing(H, W, C, Cm, quant)))
+                if not worth:
+                    continue
                 # fp weights are cast to the compute dtype at lowering,
                 # so they share the activation byte width
                 a_item = w_item = 1 if quant else act_itemsize

@@ -37,6 +37,159 @@ def tune(graph, dtype: str, quant, iters: int = 15):
     return overrides, rows
 
 
+def tune_regions(graph, dtype: str, quant, iters: int = 15):
+    """Region-level autotune: for every fusable bottleneck-chain
+    signature in the model, measure the fused chain kernel against the
+    per-layer XLA path on the device and record the winner in
+    ``meta['chain_regions']`` (consumed by passes_fusion; the default
+    policy is the measured-once heuristic
+    kernels/fused_chain.region_worth_fusing)."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from feathercnn_tpu.config import EngineConfig
+    from feathercnn_tpu.ir import infer_shapes
+    from feathercnn_tpu.kernels.fused_chain import fused_chain
+    from feathercnn_tpu.passes import optimize
+    from feathercnn_tpu.passes_fusion import fuse_bottlenecks, fuse_chains
+    from feathercnn_tpu.quant.rewrite import quantize_graph
+    from feathercnn_tpu.utils.cache import enable_persistent_cache
+    from feathercnn_tpu.utils.timing import device_bench
+    enable_persistent_cache()
+
+    g = copy.deepcopy(graph)
+    optimize(g)
+    if quant:
+        quantize_graph(g, quant)
+    infer_shapes(g)
+    g.meta.setdefault("chain_regions", {})["*"] = True  # force candidates
+    item = jnp.dtype(dtype).itemsize
+    fuse_bottlenecks(g, act_itemsize=item)
+    fuse_chains(g, act_itemsize=item)
+    infer_shapes(g)
+
+    rng = np.random.default_rng(0)
+    decisions = {}
+    for n in g.nodes:
+        if n.op not in ("FusedChain", "FusedBottleneck"):
+            continue
+        _, H, W, C = g.specs[n.inputs[0]].shape
+        w2 = g.params[n.params[2]]
+        Cm = w2.shape[-1]
+        nb = n.attrs.get("nb", 1)
+        key = f"{H}x{W}x{C}x{Cm}"
+        if key in decisions:
+            continue
+        int8 = w2.dtype == np.int8
+        s = 0.02
+        if int8:
+            x = jnp.asarray(rng.integers(-127, 128, size=(g.specs[
+                n.inputs[0]].shape[0], H, W, C), dtype=np.int8))
+        else:
+            x = jnp.asarray(rng.normal(size=g.specs[n.inputs[0]].shape),
+                            jnp.dtype(dtype))
+        w1 = jnp.asarray(g.params[n.params[0]]).reshape(nb, C, Cm)
+        w2j = jnp.asarray(w2).reshape(nb, 9 * Cm, Cm)
+        w3 = jnp.asarray(g.params[n.params[4]]).reshape(nb, Cm, C)
+        b1 = jnp.asarray(g.params[n.params[1]], jnp.float32).reshape(nb, -1)
+        b2 = jnp.asarray(g.params[n.params[3]], jnp.float32).reshape(nb, -1)
+        b3 = jnp.asarray(g.params[n.params[5]], jnp.float32).reshape(nb, -1)
+        kw = {}
+        if int8:
+            ones = lambda c: jnp.full((nb, c), 1e-3, jnp.float32)
+            kw = dict(w_scales=(ones(Cm), ones(Cm), ones(C)),
+                      scales=((s,) * nb, (s,) * nb, (s,) * nb, s))
+
+        # Measure IN CONTEXT (producer conv -> region -> consumer
+        # reduction): round 1 showed isolated custom-call timings flip
+        # the verdict — the boundary relayout only shows up next to
+        # real neighbours (BASELINE.md).
+        win = jnp.asarray(rng.integers(-127, 128, size=(1, 1, C, C),
+                                       dtype=np.int8) if int8 else
+                          rng.normal(size=(1, 1, C, C)).astype(dtype))
+
+        def prod(a):
+            y = jax.lax.conv_general_dilated(
+                a, win, (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32 if int8 else jnp.float32)
+            if int8:
+                y = jnp.maximum(y.astype(jnp.float32) * (1e-3 * s), 0)
+                return jnp.clip(jnp.round(y / s), -127,
+                                127).astype(jnp.int8)
+            return jnp.maximum(y, 0).astype(a.dtype)
+
+        def cons(a):
+            return a.astype(jnp.float32).sum()
+
+        try:
+            t_chain = device_bench(
+                lambda a: cons(fused_chain(prod(a), w1, b1, w2j, b2, w3,
+                                           b3, **kw)),
+                [x], iters=iters)
+        except Exception as e:
+            print(f"{key}: chain FAILED ({type(e).__name__}) -> layers")
+            decisions[key] = False
+            continue
+
+        def xla_path(a):
+            for j in range(nb):
+                x_in = a
+                y = a
+                for conv_i, (wj, bj, cout) in enumerate(
+                        ((w1, b1, Cm), (w2j, b2, Cm), (w3, b3, C))):
+                    if conv_i == 1:
+                        wc = wj[j].reshape(3, 3, Cm, Cm)
+                        pad = ((1, 1), (1, 1))
+                    else:
+                        cin = y.shape[-1]
+                        wc = wj[j].reshape(1, 1, cin, cout)
+                        pad = ((0, 0), (0, 0))
+                    if int8:
+                        acc = jax.lax.conv_general_dilated(
+                            y, wc, (1, 1), pad,
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                            preferred_element_type=jnp.int32)
+                        yf = acc.astype(jnp.float32) * (1e-3 * s)
+                    else:
+                        yf = jax.lax.conv_general_dilated(
+                            y.astype(jnp.dtype(dtype)), wc.astype(
+                                jnp.dtype(dtype)), (1, 1), pad,
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                            preferred_element_type=jnp.float32)
+                    yf = yf + bj[j]
+                    if conv_i < 2:
+                        yf = jnp.maximum(yf, 0.0)
+                        if int8:
+                            y = jnp.clip(jnp.round(yf / s), -127,
+                                         127).astype(jnp.int8)
+                        else:
+                            y = yf.astype(jnp.dtype(dtype))
+                    else:
+                        if int8:
+                            yf = yf + x_in.astype(jnp.float32) * s
+                            yf = jnp.maximum(yf, 0.0)
+                            a = jnp.clip(jnp.round(yf / s), -127,
+                                         127).astype(jnp.int8)
+                        else:
+                            yf = yf + x_in.astype(jnp.float32)
+                            a = jnp.maximum(yf, 0.0).astype(
+                                jnp.dtype(dtype))
+            return a
+
+        t_xla = device_bench(lambda a: cons(xla_path(prod(a))), [x],
+                             iters=iters)
+        use_chain = t_chain < t_xla
+        decisions[key] = bool(use_chain)
+        print(f"{key} nb={nb}: chain {t_chain*1e3:.3f} ms vs layers "
+              f"{t_xla*1e3:.3f} ms -> "
+              f"{'chain' if use_chain else 'layers'}")
+    return decisions
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="resnet50")
@@ -46,6 +199,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--quant", default=None)
     ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("--regions", action="store_true",
+                    help="also tune region fusion (chain vs per-layer "
+                         "XLA per bottleneck signature)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -58,6 +214,14 @@ def main():
         from feathercnn_tpu.models import MODEL_BUILDERS
         graph = MODEL_BUILDERS[args.model](batch=args.batch,
                                            with_softmax=False)
+    if args.regions:
+        regions = tune_regions(graph, args.dtype, args.quant, args.iters)
+        print(f"\nregion decisions: {json.dumps(regions)}")
+        graph.meta["chain_regions"] = regions
+        if args.ftpu:
+            from feathercnn_tpu.model_format import save_ftpu
+            save_ftpu(graph, args.ftpu)
+            print(f"baked chain_regions into {args.ftpu} meta")
     eng = Engine(graph, EngineConfig(compute_dtype=args.dtype,
                                      quant=args.quant))
     overrides, rows = tune(eng.graph, args.dtype, args.quant, args.iters)
