@@ -9,7 +9,7 @@ int8 metadata are already in place).  Pattern:
     y = Eltwise SUM (x, c) act=relu   identity shortcut
 
 -> one ``FusedBottleneck`` node lowered to the VMEM-resident Pallas kernel
-(kernels/fused_block.py).  Opt-in via EngineConfig.fuse_blocks.
+(kernels/fused_chain.py, nb=1).  Opt-in via EngineConfig.fuse_blocks.
 """
 
 from __future__ import annotations
