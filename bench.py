@@ -147,14 +147,19 @@ def bench_model(name: str, batch: int, dtype: str, backend: str,
     compile_s = time.time() - t0
 
     # Slope timing: each dispatch+fetch through the tunnel costs a
-    # ~30-50 ms constant; T(long)-T(short) cancels it.
-    t0 = time.time()
-    float(loop(params, xd, jnp.int32(warmup)))
-    t_short = time.time() - t0
-    t0 = time.time()
-    float(loop(params, xd, jnp.int32(warmup + iters)))
-    t_long = time.time() - t0
-    dt = max(t_long - t_short, 1e-9) / iters
+    # ~30-50 ms constant; T(long)-T(short) cancels it.  The tunnel's
+    # throughput also drifts over minutes, so take the median of three
+    # slope pairs.
+    dts = []
+    for _ in range(3):
+        t0 = time.time()
+        float(loop(params, xd, jnp.int32(warmup)))
+        t_short = time.time() - t0
+        t0 = time.time()
+        float(loop(params, xd, jnp.int32(warmup + iters)))
+        t_long = time.time() - t0
+        dts.append(max(t_long - t_short, 1e-9) / iters)
+    dt = float(np.median(dts))
 
     imgs_per_s = batch / dt
     flops = graph_flops(eng.graph) * batch

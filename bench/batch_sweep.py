@@ -1,0 +1,122 @@
+"""Paired batch-size sweep: interleaved rounds inside ONE process.
+
+The axon tunnel's throughput drifts by tens of percent across minutes,
+so separate-process benches can't rank configs (BASELINE.md).  This
+harness compiles every batch size once, then interleaves slope timings
+round-robin and reports per-batch medians — drift hits all configs
+equally.
+
+Usage: python bench/batch_sweep.py [--batches 128,160,192] [--rounds 5]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="resnet50")
+    ap.add_argument("--batches", default="128,160,192")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--quant", default="w8a8")
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+    batches = [int(b) for b in args.batches.split(",")]
+    if args.quant in ("none", "None"):
+        args.quant = None
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import roofline  # noqa: F401  (path setup)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench as bench_mod  # the repo-root bench.py
+    from feathercnn_tpu import Engine, EngineConfig
+    from feathercnn_tpu.models import MODEL_BUILDERS
+    from feathercnn_tpu.quant import calibrate
+    from feathercnn_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "rootbench", os.path.join(os.path.dirname(__file__), "..",
+                                  "bench.py"))
+    rootbench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rootbench)
+
+    loops = {}
+    flops = {}
+    for b in batches:
+        g = MODEL_BUILDERS[args.model](batch=b, with_softmax=False)
+        if args.quant == "w8a8":
+            g_cal = MODEL_BUILDERS[args.model](batch=8, with_softmax=False)
+            rng = np.random.default_rng(1)
+            spec0 = next(iter(g_cal.inputs.values()))
+            calibrate(g_cal, [rng.normal(size=spec0.shape
+                                         ).astype(np.float32)],
+                      method="max",
+                      config=EngineConfig(compute_dtype=args.dtype))
+            g.meta.update({k: g_cal.meta[k]
+                           for k in ("act_scales", "value_scales")})
+        eng = Engine(g, EngineConfig(compute_dtype=args.dtype,
+                                     backend="pallas", quant=args.quant,
+                                     algo_overrides=(("*", "xla"),)))
+        fwd = eng._build_forward()
+        params = eng._prepare_params()
+        (in_name,) = eng.graph.inputs
+        first_out = eng.graph.outputs[0]
+        x = np.random.default_rng(0).normal(
+            size=next(iter(g.inputs.values())).shape).astype(np.float32)
+
+        @jax.jit
+        def loop(params, x, n, fwd=fwd, in_name=in_name,
+                 first_out=first_out):
+            def body(i, carry):
+                xi = x + jnp.asarray(i, x.dtype) * jnp.asarray(
+                    1e-6, x.dtype)
+                out = fwd(params, {in_name: xi})
+                return carry + out[first_out].ravel()[0].astype(
+                    jnp.float32)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        xd = jax.device_put(jnp.asarray(x))
+        float(loop(params, xd, jnp.int32(3)))   # compile
+        loops[b] = (loop, params, xd)
+        flops[b] = rootbench.graph_flops(eng.graph) * b
+        print(f"compiled b{b}", file=sys.stderr, flush=True)
+
+    results = {b: [] for b in batches}
+    warm = 5
+    for r in range(args.rounds):
+        for b in batches:
+            loop, params, xd = loops[b]
+            t0 = time.time()
+            float(loop(params, xd, jnp.int32(warm)))
+            t_short = time.time() - t0
+            t0 = time.time()
+            float(loop(params, xd, jnp.int32(warm + args.iters)))
+            t_long = time.time() - t0
+            dt = max(t_long - t_short, 1e-9) / args.iters
+            results[b].append(b / dt)
+            print(f"round {r} b{b}: {b/dt:,.0f} img/s",
+                  file=sys.stderr, flush=True)
+
+    peak = rootbench.device_peak_flops(int8=(args.quant == "w8a8"))
+    print(f"\n{args.model} {args.quant} medians over {args.rounds} rounds:")
+    for b in batches:
+        med = float(np.median(results[b]))
+        frac = med * (flops[b] / b) / peak
+        print(f"  b{b:4d}: {med:10,.0f} img/s  SoL {frac*100:5.1f}%  "
+              f"(min {min(results[b]):,.0f} max {max(results[b]):,.0f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Quantization accuracy gate on a TRAINED model (SURVEY.md §4 item 4,
+BASELINE.json:5: top-1 within 0.5% of FP32).
+
+No ImageNet weights are reachable in this environment, so the gate runs
+on a small convnet *trained here* (JAX/optax, synthetic 3-class image
+task, deterministic seeds) — trained weight/activation distributions are
+the thing random-weight proxies miss (per-channel spread, dead units,
+calibration clipping)."""
+
+import numpy as np
+import pytest
+
+from feathercnn_tpu import Engine, EngineConfig
+from feathercnn_tpu.models.builder import GraphBuilder
+from feathercnn_tpu.quant import calibrate
+
+C_IN, HW, N_CLASS = 3, 16, 4
+
+
+def _dataset(n, seed):
+    """Class = stripe orientation x frequency (GAP-friendly: texture,
+    not position), 16x16x3 with random phase and noise."""
+    rng = np.random.default_rng(seed)
+    ys = rng.integers(0, N_CLASS, size=n)
+    yy, xx = np.mgrid[0:HW, 0:HW].astype(np.float32)
+    imgs = np.empty((n, HW, HW, C_IN), np.float32)
+    spec = [(yy, 1.0), (xx, 1.0), (yy, 2.0), (xx, 2.0)]
+    for i, y in enumerate(ys):
+        axis, freq = spec[y]
+        phase = rng.uniform(0, 2 * np.pi)
+        stripe = np.sin(axis * freq + phase)
+        img = np.stack([stripe * (1 + 0.3 * c) for c in range(C_IN)], -1)
+        imgs[i] = img + rng.normal(0, 0.3, size=img.shape)
+    return imgs, ys
+
+
+def _train(steps=300, seed=0):
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_platforms", "cpu")
+    rng = np.random.default_rng(seed)
+
+    def init(shape, fan_in):
+        return jnp.asarray(rng.normal(0, np.sqrt(2.0 / fan_in),
+                                      size=shape).astype(np.float32))
+
+    params = {
+        "w1": init((3, 3, C_IN, 16), 27), "b1": jnp.zeros((16,)),
+        "w2": init((3, 3, 16, 32), 144), "b2": jnp.zeros((32,)),
+        "w3": init((32, N_CLASS), 32), "b3": jnp.zeros((N_CLASS,)),
+    }
+
+    def forward(p, x):
+        y = jax.lax.conv_general_dilated(
+            x, p["w1"], (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b1"]
+        y = jnp.maximum(y, 0)
+        y = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max,
+                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        y = jax.lax.conv_general_dilated(
+            y, p["w2"], (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b2"]
+        y = jnp.maximum(y, 0)
+        y = y.mean(axis=(1, 2))
+        return y @ p["w3"] + p["b3"]
+
+    def loss(p, x, y):
+        logits = forward(p, x)
+        return -jnp.mean(jax.nn.log_softmax(logits)[
+            jnp.arange(x.shape[0]), y])
+
+    xtr, ytr = _dataset(2048, seed=1)
+    xtr_j, ytr_j = jnp.asarray(xtr), jnp.asarray(ytr)
+    grad = jax.jit(jax.grad(loss))
+    lr = 0.05
+    for s in range(steps):
+        i = (s * 128) % 2048
+        g = grad(params, xtr_j[i:i + 128], ytr_j[i:i + 128])
+        params = jax.tree_util.tree_map(lambda p, gv: p - lr * gv,
+                                        params, g)
+    return {k: np.asarray(v) for k, v in params.items()}
+
+
+def _build_graph(p, batch):
+    b = GraphBuilder("gatecnn", seed=0)
+    x = b.input("data", (batch, HW, HW, C_IN))
+    x = b.conv("c1", x, 16, 3, pad=1, relu=True)
+    x = b.pool("p1", x, 2, 2, mode="MAX", )
+    x = b.conv("c2", x, 32, 3, pad=1, relu=True)
+    x = b.pool("gap", x, 0, mode="AVE", global_pooling=True)
+    x = b.fc("fc", x, N_CLASS)
+    g = b.finish([x])
+    g.params["c1/w"], g.params["c1/b"] = p["w1"], p["b1"]
+    g.params["c2/w"], g.params["c2/b"] = p["w2"], p["b2"]
+    g.params["fc/w"], g.params["fc/b"] = p["w3"], p["b3"]
+    return g
+
+
+def test_int8_top1_within_half_percent():
+    params = _train()
+    xval, yval = _dataset(1024, seed=2)
+    g = _build_graph(params, batch=1024)
+
+    fp = Engine(g)
+    logits = np.asarray(fp(xval))
+    top1_fp = float((logits.argmax(-1) == yval).mean())
+    assert top1_fp > 0.9, f"training failed ({top1_fp:.3f})"
+
+    xcal, _ = _dataset(256, seed=3)
+    for method in ("max", "percentile"):
+        calibrate(g, [xcal], method=method)
+        q = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                   interpret=True))
+        top1_q = float((np.asarray(q(xval)).argmax(-1) == yval).mean())
+        drop = top1_fp - top1_q
+        assert drop <= 0.005 + 1e-9, \
+            f"{method}: top-1 drop {drop*100:.2f}% > 0.5%"
+
+
+def test_weight_only_top1_no_drop():
+    params = _train(steps=200)
+    xval, yval = _dataset(512, seed=4)
+    g = _build_graph(params, batch=512)
+    fp = Engine(g)
+    top1_fp = float((np.asarray(fp(xval)).argmax(-1) == yval).mean())
+    q = Engine(g, EngineConfig(backend="pallas", quant="w8",
+                               interpret=True))
+    top1_q = float((np.asarray(q(xval)).argmax(-1) == yval).mean())
+    assert top1_fp - top1_q <= 0.005 + 1e-9
