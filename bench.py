@@ -90,6 +90,13 @@ def bench_model(name: str, batch: int, dtype: str, backend: str,
     from feathercnn_tpu.models import MODEL_BUILDERS
 
     g = MODEL_BUILDERS[name](batch=batch, with_softmax=False)
+    if fuse_chains and "chain_regions" not in g.meta:
+        # zoo graphs carry no autotuned region table; --fuse-chains is a
+        # measurement flag, so fuse everything eligible (the measured
+        # default policy would otherwise make this a silent no-op)
+        g.meta["chain_regions"] = {"*": True}
+        log("--fuse-chains: no region table; fusing all eligible "
+            "signatures (measured slower on v5e, see BASELINE.md)")
     if quant == "w8a8":
         # Calibrate on a small-batch twin graph (same seed -> same weights;
         # scales are batch-independent) so we don't compile the big batch

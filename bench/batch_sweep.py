@@ -35,10 +35,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bench import roofline  # noqa: F401  (path setup)
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    import bench as bench_mod  # the repo-root bench.py
     from feathercnn_tpu import Engine, EngineConfig
     from feathercnn_tpu.models import MODEL_BUILDERS
     from feathercnn_tpu.quant import calibrate

@@ -137,70 +137,21 @@ def main():
                          iters=20)
         print(f"ctx-chain : {t*1e3:8.3f} ms", flush=True)
 
-        import jax as _jax
+        from bench.ref_chains import xla_int8_bottlenecks
 
-        def xla_chain_body(a):
-            for j in range(nb):
-                x_in = a
-                y = _jax.lax.conv_general_dilated(
-                    a, jnp.asarray(w1[j].reshape(1, 1, C, Cm)), (1, 1),
-                    ((0, 0), (0, 0)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32)
-                y = jnp.maximum(y.astype(jnp.float32) * (w1s[j] * s), 0)
-                y = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
-                y = _jax.lax.conv_general_dilated(
-                    y, jnp.asarray(w2[j].reshape(3, 3, Cm, Cm)), (1, 1),
-                    ((1, 1), (1, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32)
-                y = jnp.maximum(y.astype(jnp.float32) * (w2s[j] * s), 0)
-                y = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
-                y = _jax.lax.conv_general_dilated(
-                    y, jnp.asarray(w3[j].reshape(1, 1, Cm, C)), (1, 1),
-                    ((0, 0), (0, 0)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32)
-                y = y.astype(jnp.float32) * (w3s[j] * s)
-                y = jnp.maximum(y + x_in.astype(jnp.float32) * s, 0)
-                a = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
-            return a
-
-        t = device_bench(lambda a: cons(xla_chain_body(prod(a))),
-                         [jnp.asarray(x8)], iters=20)
+        t = device_bench(
+            lambda a: cons(xla_int8_bottlenecks(
+                prod(a), w1, w2, w3, w1s, w2s, w3s, s, nb, C, Cm)),
+            [jnp.asarray(x8)], iters=20)
         print(f"ctx-xla   : {t*1e3:8.3f} ms", flush=True)
 
     if "xla" in what:
         # per-layer XLA int8 convs with int8 edges (the production path)
-        import jax
-
-        def xla_chain(a):
-            for j in range(nb):
-                x_in = a
-                y = jax.lax.conv_general_dilated(
-                    a, jnp.asarray(w1[j].reshape(1, 1, C, Cm)), (1, 1),
-                    ((0, 0), (0, 0)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32)
-                y = jnp.maximum(y.astype(jnp.float32) * (w1s[j] * s), 0)
-                y = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
-                y = jax.lax.conv_general_dilated(
-                    y, jnp.asarray(w2[j].reshape(3, 3, Cm, Cm)), (1, 1),
-                    ((1, 1), (1, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32)
-                y = jnp.maximum(y.astype(jnp.float32) * (w2s[j] * s), 0)
-                y = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
-                y = jax.lax.conv_general_dilated(
-                    y, jnp.asarray(w3[j].reshape(1, 1, Cm, C)), (1, 1),
-                    ((0, 0), (0, 0)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32)
-                y = y.astype(jnp.float32) * (w3s[j] * s)
-                y = jnp.maximum(y + x_in.astype(jnp.float32) * s, 0)
-                a = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
-            return a
-        t = device_bench(xla_chain, [jnp.asarray(x8)], iters=20)
+        from bench.ref_chains import xla_int8_bottlenecks
+        t = device_bench(
+            lambda a: xla_int8_bottlenecks(a, w1, w2, w3, w1s, w2s, w3s,
+                                           s, nb, C, Cm),
+            [jnp.asarray(x8)], iters=20)
         print(f"xla   : {t*1e3:8.3f} ms  {flops/t/1e12:7.1f} TOP/s",
               flush=True)
 

@@ -210,7 +210,7 @@ def region_worth_fusing(H, W, C, Cm, quant: bool) -> bool:
 
 
 def chain_plan(N, H, W, C, Cm, nb, act_item, w_item,
-               budget=13 * 1024 * 1024 + 512 * 1024):
+               budget=13 * 1024 * 1024 + 512 * 1024, out_item=None):
     """(chunk, slab_rows) such that the kernel fits ``budget`` VMEM, or
     None if even (1, min_slab) overflows."""
     wbytes = (C * Cm + 9 * Cm * Cm + Cm * C) * w_item * nb
@@ -221,25 +221,16 @@ def chain_plan(N, H, W, C, Cm, nb, act_item, w_item,
 
     def fits(chunk, R):
         return chain_vmem_bytes(chunk, H, W, C, Cm, act_item, wbytes,
-                                R) <= budget
+                                R, out_item=out_item) <= budget
 
-    best = None
-    chunk = N
-    while chunk >= 1:
+    # chunk must divide N exactly (the kernel reshapes to (N//chunk,
+    # chunk, ...)); walk N's divisors from largest to smallest
+    for chunk in sorted((d for d in range(1, N + 1) if N % d == 0),
+                        reverse=True):
         for R in reversed(divisors):          # prefer big slabs
             if fits(chunk, R):
-                best = (chunk, R)
-                break
-        if best:
-            break
-        # shrink chunk by smallest prime factor
-        for d in (2, 3, 5, 7):
-            if chunk % d == 0:
-                chunk //= d
-                break
-        else:
-            chunk = chunk - 1 if chunk > 1 else 0
-    return best
+                return (chunk, R)
+    return None
 
 
 def _use_im2col(Cm: int) -> bool:
@@ -249,10 +240,11 @@ def _use_im2col(Cm: int) -> bool:
 
 
 def chain_vmem_bytes(chunk, H, W, C, Cm, act_item, wbytes_total,
-                     slab_rows=None):
+                     slab_rows=None, out_item=None):
     """Rough per-grid-step VMEM footprint: slab f32 temporaries (x1.5
     safety for Mosaic transients), int8 act + y1 (+ conv2 im2col)
-    scratches, in/out chunk double buffers, resident weights."""
+    scratches, in/out chunk double buffers, resident weights.
+    ``out_item`` covers int8-in/bf16-out chains (s_out=None)."""
     R = slab_rows or H
     Ms = chunk * R * W
     M = chunk * H * W
@@ -261,7 +253,7 @@ def chain_vmem_bytes(chunk, H, W, C, Cm, act_item, wbytes_total,
     scratch = M * (C + Cm) * act_item
     if _use_im2col(Cm):
         scratch += Ms * 9 * Cm * act_item
-    io = 4 * M * C * act_item                 # x/out blocks, double-buffered
+    io = 2 * M * C * (act_item + (out_item or act_item))
     return f32_tmp + pad_slab + scratch + io + wbytes_total
 
 
@@ -309,7 +301,7 @@ def fused_chain(x: jnp.ndarray,
     fold = conv2_fold or (9 if _use_im2col(Cm) else 1)
     plan = plan_override or chain_plan(
         N, H, W, C, Cm, nb, itemsize, w1.dtype.itemsize,
-        budget=vmem_budget)
+        budget=vmem_budget, out_item=jnp.dtype(out_dtype).itemsize)
     if plan is None:
         raise ValueError(
             f"fused_chain: no VMEM-feasible plan for {x.shape} Cm={Cm} "

@@ -93,9 +93,13 @@ def fuse_bottlenecks(graph: Graph, act_itemsize: int = 2) -> int:
                 if not worth:
                     continue
                 # fp weights are cast to the compute dtype at lowering,
-                # so they share the activation byte width
+                # so they share the activation byte width; a quantized
+                # block's output may still be bf16 (s_out is decided
+                # later) — size for the worst case
                 a_item = w_item = 1 if quant else act_itemsize
-                if chain_plan(1, H, W, C, Cm, 1, a_item, w_item) is None:
+                o_item = 2 if quant else act_itemsize
+                if chain_plan(1, H, W, C, Cm, 1, a_item, w_item,
+                              out_item=o_item) is None:
                     continue
                 meta = {}
                 if quant:
@@ -209,8 +213,11 @@ def fuse_chains(graph: Graph, act_itemsize: int = 2) -> int:
         Cm = w2.shape[-1]
         quant = w2.dtype == np.int8
         a_item = w_item = 1 if quant else act_itemsize
+        o_item = act_itemsize
+        if quant:
+            o_item = 1 if blocks[-1].attrs.get("s_out") else 2
         return chain_plan(1, H, W, C, Cm, len(blocks), a_item,
-                          w_item) is not None
+                          w_item, out_item=o_item) is not None
 
     split_runs: List[List[Node]] = []
     for blocks in runs:
@@ -276,12 +283,21 @@ def fuse_chains(graph: Graph, act_itemsize: int = 2) -> int:
         remove.update(b.name for b in blocks)
 
     out = []
+    merged_params = set()
     for n in graph.nodes:
         if n.name in replaced:
             out.append(replaced[n.name])
-        elif n.name not in remove:
+        if n.name in remove:
+            merged_params.update(n.params)
+        else:
             out.append(n)
     graph.nodes = out
+    # drop the per-block originals the stacked copies replaced —
+    # Engine._prepare_params device-puts every graph.params entry, so
+    # leftovers would sit in HBM twice (and bloat saved .ftpu artifacts)
+    still_used = {p for n in graph.nodes for p in n.params}
+    for p in merged_params - still_used:
+        graph.params.pop(p, None)
     graph.validate()
     return len(runs)
 

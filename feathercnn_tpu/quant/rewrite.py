@@ -73,7 +73,9 @@ def quantize_graph(graph, mode: str) -> None:
             return n.attrs.get("pool", "MAX") == "MAX"
         return False
 
+    producers = graph.producers()
     edge_scale = {}     # value name -> int8 scale it will carry
+    denied = set()      # transparent nodes proven un-markable (fixpoint)
 
     def _accepts(c, value):
         """Scale at which consumer c takes int8 on `value`, else None."""
@@ -88,7 +90,7 @@ def quantize_graph(graph, mode: str) -> None:
                 s = value_scales.get(value)
                 return float(s) if s is not None else None
             return None
-        if _transparent(c):
+        if _transparent(c) and c.name not in denied:
             s = edge_scale.get(c.outputs[0])
             if s is not None and all(
                     edge_scale.get(o) == s for o in c.outputs):
@@ -107,28 +109,72 @@ def quantize_graph(graph, mode: str) -> None:
             return None
         return scales[0]
 
-    for n in reversed(graph.nodes):
-        if (n.op == "Eltwise" and n.attrs.get("operation", "SUM") == "SUM"
-                and not n.attrs.get("coeffs")):
-            out = n.outputs[0]
-            y_scale = _edge_scale_for(out)
-            if (y_scale is not None
-                    and all(v in value_scales for v in n.inputs)):
-                qmeta[n.name] = {
-                    "eltwise_int8": True,
-                    "in_scales": [float(value_scales[v]) for v in n.inputs],
-                    "y_scale": float(y_scale),
-                }
-        elif _transparent(n):
-            ss = [_edge_scale_for(o) for o in n.outputs]
-            if all(s is not None for s in ss) and len(set(ss)) == 1:
-                for o in n.outputs:
-                    edge_scale[o] = ss[0]
-                qmeta[n.name] = {"passthrough_int8": True,
-                                 "y_scale": float(ss[0])}
-        info = qmeta.get(n.name)
-        if info is not None and "x_scale" in info:
-            y_scale = _edge_scale_for(n.outputs[0])
-            if y_scale is not None:
-                info["emit_int8"] = True
-                info["y_scale"] = float(y_scale)
+    def _mark_pass():
+        """One reverse-topological marking pass (honors ``denied``)."""
+        edge_scale.clear()
+        for n in graph.nodes:
+            info = qmeta.get(n.name)
+            if info is None:
+                continue
+            if info.get("eltwise_int8") or info.get("passthrough_int8"):
+                del qmeta[n.name]       # entries this pass owns
+            else:
+                info.pop("emit_int8", None)
+                info.pop("y_scale", None)
+        for n in reversed(graph.nodes):
+            if (n.op == "Eltwise"
+                    and n.attrs.get("operation", "SUM") == "SUM"
+                    and not n.attrs.get("coeffs")):
+                out = n.outputs[0]
+                y_scale = _edge_scale_for(out)
+                if (y_scale is not None
+                        and all(v in value_scales for v in n.inputs)):
+                    qmeta[n.name] = {
+                        "eltwise_int8": True,
+                        "in_scales": [float(value_scales[v])
+                                      for v in n.inputs],
+                        "y_scale": float(y_scale),
+                    }
+            elif _transparent(n) and n.name not in denied:
+                ss = [_edge_scale_for(o) for o in n.outputs]
+                if all(s is not None for s in ss) and len(set(ss)) == 1:
+                    for o in n.outputs:
+                        edge_scale[o] = ss[0]
+                    qmeta[n.name] = {"passthrough_int8": True,
+                                     "y_scale": float(ss[0])}
+            info = qmeta.get(n.name)
+            if info is not None and "x_scale" in info:
+                y_scale = _edge_scale_for(n.outputs[0])
+                if y_scale is not None:
+                    info["emit_int8"] = True
+                    info["y_scale"] = float(y_scale)
+
+    def _int8_source_scale(v):
+        p = producers.get(v)
+        info = qmeta.get(p.name) if p is not None else None
+        if info and (info.get("emit_int8") or info.get("eltwise_int8")
+                     or info.get("passthrough_int8")):
+            return info.get("y_scale")
+        return None
+
+    # Fixpoint: a marked MULTI-input transparent op (Concat) whose inputs
+    # won't all actually arrive as int8 at the marked scale (e.g. one
+    # branch's producer has a second, float-only consumer) would
+    # concatenate raw int8 grid values with real-scale floats — demote it
+    # and re-mark; demotion can cascade to the branch producers' emit
+    # decisions, hence the loop.  Single-input transparent ops degrade
+    # gracefully (dtype follows the input; consumers quantize on the
+    # fly), so they need no validation.
+    while True:
+        _mark_pass()
+        new_denials = set()
+        for n in graph.nodes:
+            info = qmeta.get(n.name)
+            if (info and info.get("passthrough_int8")
+                    and len(n.inputs) > 1):
+                s = info["y_scale"]
+                if any(_int8_source_scale(v) != s for v in n.inputs):
+                    new_denials.add(n.name)
+        if not new_denials:
+            break
+        denied |= new_denials

@@ -119,3 +119,33 @@ def test_int8_edge_through_maxpool_and_concat(rng):
     assert qm["left"]["y_scale"] == qm["cat"]["y_scale"]
     out = np.asarray(eng(x_val))
     assert _cosine(ref, out) > 0.997
+
+
+def test_int8_edge_concat_mixed_branch_demoted(rng):
+    """A Concat where one branch's producer ALSO feeds a float-only
+    consumer must not go int8 (mixing raw int8 with floats would corrupt
+    silently) — the fixpoint demotes the concat and accuracy holds."""
+    b = GraphBuilder("mixcat", seed=13)
+    x = b.input("data", (2, 16, 16, 8))
+    y = b.conv("stem", x, 16, 3, pad=1, relu=True)
+    l = b.conv("left", y, 8, 1, relu=True)
+    r = b.conv("right", y, 8, 1, relu=True)
+    # `left` also feeds an AVE pool (never int8) -> left stays float
+    side = b.pool("side_gap", l, 0, mode="AVE", global_pooling=True)
+    m = b.concat("cat", [l, r])
+    h = b.conv("head", m, 16, 3, pad=1, relu=True)
+    h = b.pool("gap", h, 0, mode="AVE", global_pooling=True)
+    out = b.concat("joined", [side, h])
+    out = b.fc("fc", out, 10)
+    g = b.finish([out])
+
+    xv = rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    calibrate(g, [xv], method="max")
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 interpret=True))
+    qm = eng.graph.meta["quant"]
+    assert not qm.get("cat", {}).get("passthrough_int8")
+    assert not qm.get("left", {}).get("emit_int8")
+    out_q = np.asarray(eng(xv))
+    assert _cosine(ref, out_q) > 0.997

@@ -135,50 +135,41 @@ def tune_regions(graph, dtype: str, quant, iters: int = 15):
             decisions[key] = False
             continue
 
-        def xla_path(a):
-            for j in range(nb):
-                x_in = a
-                y = a
-                for conv_i, (wj, bj, cout) in enumerate(
-                        ((w1, b1, Cm), (w2j, b2, Cm), (w3, b3, C))):
-                    if conv_i == 1:
-                        wc = wj[j].reshape(3, 3, Cm, Cm)
-                        pad = ((1, 1), (1, 1))
-                    else:
-                        cin = y.shape[-1]
-                        wc = wj[j].reshape(1, 1, cin, cout)
-                        pad = ((0, 0), (0, 0))
-                    if int8:
-                        acc = jax.lax.conv_general_dilated(
-                            y, wc, (1, 1), pad,
-                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                            preferred_element_type=jnp.int32)
-                        yf = acc.astype(jnp.float32) * (1e-3 * s)
-                    else:
+        if int8:
+            from bench.ref_chains import xla_int8_bottlenecks
+            ones = lambda c: np.full((nb, c), 1e-3, np.float32)
+
+            def xla_path(a):
+                # the SAME canonical reference body the micro-probes use
+                return xla_int8_bottlenecks(
+                    a, w1, w2j, w3, ones(Cm), ones(Cm), ones(C), s,
+                    nb, C, Cm)
+        else:
+            def xla_path(a):
+                cd = jnp.dtype(dtype)
+                for j in range(nb):
+                    x_in = a
+                    y = a
+                    for conv_i, (wj, bj, cout) in enumerate(
+                            ((w1, b1, Cm), (w2j, b2, Cm), (w3, b3, C))):
+                        if conv_i == 1:
+                            wc = wj[j].reshape(3, 3, Cm, Cm)
+                            pad = ((1, 1), (1, 1))
+                        else:
+                            cin = y.shape[-1]
+                            wc = wj[j].reshape(1, 1, cin, cout)
+                            pad = ((0, 0), (0, 0))
                         yf = jax.lax.conv_general_dilated(
-                            y.astype(jnp.dtype(dtype)), wc.astype(
-                                jnp.dtype(dtype)), (1, 1), pad,
+                            y.astype(cd), wc.astype(cd), (1, 1), pad,
                             dimension_numbers=("NHWC", "HWIO", "NHWC"),
                             preferred_element_type=jnp.float32)
-                    yf = yf + bj[j]
-                    if conv_i < 2:
-                        yf = jnp.maximum(yf, 0.0)
-                        if int8:
-                            y = jnp.clip(jnp.round(yf / s), -127,
-                                         127).astype(jnp.int8)
-                        else:
-                            y = yf.astype(jnp.dtype(dtype))
-                    else:
-                        if int8:
-                            yf = yf + x_in.astype(jnp.float32) * s
-                            yf = jnp.maximum(yf, 0.0)
-                            a = jnp.clip(jnp.round(yf / s), -127,
-                                         127).astype(jnp.int8)
+                        yf = yf + bj[j]
+                        if conv_i < 2:
+                            y = jnp.maximum(yf, 0.0).astype(cd)
                         else:
                             yf = yf + x_in.astype(jnp.float32)
-                            a = jnp.maximum(yf, 0.0).astype(
-                                jnp.dtype(dtype))
-            return a
+                            a = jnp.maximum(yf, 0.0).astype(cd)
+                return a
 
         t_xla = device_bench(lambda a: cons(xla_path(prod(a))), [x],
                              iters=iters)
