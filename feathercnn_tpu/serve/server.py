@@ -49,17 +49,35 @@ class InferenceServer:
     def __init__(self, engine: Engine, batch_size: int = 32,
                  batch_timeout_us: int = 2000, max_retries: int = 1,
                  prefer_native_queue: bool = True,
-                 transfer_dtype: Optional[str] = "bfloat16"):
+                 transfer_dtype: Optional[str] = "auto"):
         self.engine = engine
         self.batch_size = batch_size
         self.batch_timeout_us = batch_timeout_us
         self.max_retries = max_retries
-        # Cast the batch before host->device transfer: halves the PCIe (or
-        # tunnel) bytes; the engine casts to its compute dtype anyway.
+        # Reduced-precision host->device transfer: the serving loop was
+        # measured transfer-bound (BASELINE.md), so shrink the bytes on
+        # the wire.  "auto": a full-int8 engine quantizes host-side with
+        # the first conv's calibrated input scale (4x less than f32 — the
+        # in-graph path accepts int8 directly); else bf16 when the
+        # compute dtype allows; "bfloat16"/"int8"/None force a mode.
         self._transfer_dtype = None
-        if transfer_dtype and engine.config.compute_dtype != "float32":
+        self._transfer_scale = None
+        if transfer_dtype in ("auto", "int8") \
+                and engine.config.quant == "w8a8":
+            qm = engine.graph.meta.get("quant", {})
+            first_conv = next((n for n in engine.graph.nodes
+                               if n.op == "Convolution"), None)
+            xs = (qm.get(first_conv.name, {}).get("x_scale")
+                  if first_conv is not None else None)
+            if xs:
+                self._transfer_dtype = np.int8
+                self._transfer_scale = float(xs)
+        if (self._transfer_dtype is None and transfer_dtype
+                and transfer_dtype != "int8"
+                and engine.config.compute_dtype != "float32"):
             import jax.numpy as jnp
-            self._transfer_dtype = jnp.dtype(transfer_dtype)
+            self._transfer_dtype = jnp.dtype(
+                "bfloat16" if transfer_dtype == "auto" else transfer_dtype)
 
         (in_name,) = engine.graph.inputs
         self._in_name = in_name
@@ -92,8 +110,7 @@ class InferenceServer:
         # with the dtype _run_batch will actually send, or the first real
         # batch would retrace.
         warm = np.zeros((self.batch_size,) + self._item_shape, np.float32)
-        if self._transfer_dtype is not None:
-            warm = warm.astype(self._transfer_dtype)
+        warm = self._to_transfer(warm)
         self.engine.run({self._in_name: warm})
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         self._worker.start()
@@ -117,6 +134,14 @@ class InferenceServer:
         return self.queue.wait_result(ticket, int(timeout_s * 1e6))
 
     # ------------------------------------------------------------------
+    def _to_transfer(self, full: np.ndarray) -> np.ndarray:
+        if self._transfer_scale is not None:
+            return np.clip(np.round(full / self._transfer_scale),
+                           -127, 127).astype(np.int8)
+        if self._transfer_dtype is not None:
+            return full.astype(self._transfer_dtype)
+        return full
+
     def _run_batch(self, batch: np.ndarray) -> np.ndarray:
         n_real = broadcast_plan(batch.shape[0])
         if n_real < self.batch_size:
@@ -126,8 +151,7 @@ class InferenceServer:
             self.metrics["pad_images"] += self.batch_size - n_real
         else:
             full = batch
-        if self._transfer_dtype is not None:
-            full = full.astype(self._transfer_dtype)
+        full = self._to_transfer(full)
         out = self.engine.run({self._in_name: full})[self._out_name]
         out = np.asarray(out, np.float32).reshape(self.batch_size, -1)
         return out[:batch.shape[0]].reshape(

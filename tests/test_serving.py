@@ -92,3 +92,33 @@ def test_server_fault_isolation(rng, monkeypatch):
         assert srv.metrics["faults"] >= 1
     finally:
         srv.stop()
+
+
+def test_server_int8_transfer_mode(rng):
+    """A full-int8 engine auto-selects int8 host->device transfer
+    (quantized with the first conv's calibrated scale); results match
+    the direct engine run."""
+    from feathercnn_tpu.quant import calibrate
+    b = GraphBuilder("srv8", seed=17)
+    x = b.input("data", (8, 8, 8, 3))
+    y = b.conv("c1", x, 8, 3, pad=1, relu=True)
+    y = b.conv("c2", y, 8, 1, relu=True)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 4)
+    g = b.finish([y])
+    xcal = rng.normal(size=(8, 8, 8, 3)).astype(np.float32)
+    calibrate(g, [xcal], method="max")
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 interpret=True))
+    srv = InferenceServer(eng, batch_size=4, batch_timeout_us=1000)
+    assert srv._transfer_scale is not None       # int8 mode engaged
+    srv.start()
+    try:
+        img = xcal[0]
+        got = srv.infer(img, timeout_s=30)
+        want = np.asarray(eng.run(
+            {"data": srv._to_transfer(img[None])})["fc"])[0]
+        np.testing.assert_allclose(got.ravel(), want.ravel(),
+                                   rtol=1e-3, atol=1e-3)
+    finally:
+        srv.stop()
