@@ -27,10 +27,19 @@ def main():
     ap.add_argument("--quant", default="w8a8")
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--variants", default=None,
+                    help="comma list of EngineConfig boolean fields to "
+                         "A/B at the FIRST batch size (e.g. "
+                         "'s2d_stem,fuse_chains'); each runs paired "
+                         "against the baseline config")
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
     if args.quant in ("none", "None"):
         args.quant = None
+    variants = ([None] + args.variants.split(",")) if args.variants \
+        else [None]
+    if args.variants:
+        batches = batches[:1]
 
     import jax
     import jax.numpy as jnp
@@ -50,7 +59,8 @@ def main():
 
     loops = {}
     flops = {}
-    for b in batches:
+    configs = [(b, v) for b in batches for v in variants]
+    for b, variant in configs:
         g = MODEL_BUILDERS[args.model](batch=b, with_softmax=False)
         if args.quant == "w8a8":
             g_cal = MODEL_BUILDERS[args.model](batch=8, with_softmax=False)
@@ -62,9 +72,14 @@ def main():
                       config=EngineConfig(compute_dtype=args.dtype))
             g.meta.update({k: g_cal.meta[k]
                            for k in ("act_scales", "value_scales")})
-        eng = Engine(g, EngineConfig(compute_dtype=args.dtype,
-                                     backend="pallas", quant=args.quant,
-                                     algo_overrides=(("*", "xla"),)))
+        cfg = EngineConfig(compute_dtype=args.dtype,
+                           backend="pallas", quant=args.quant,
+                           algo_overrides=(("*", "xla"),))
+        if variant:
+            cfg = cfg.replace(**{variant: True})
+            if variant == "fuse_chains":
+                g.meta["chain_regions"] = {"*": True}
+        eng = Engine(g, cfg)
         fwd = eng._build_forward()
         params = eng._prepare_params()
         (in_name,) = eng.graph.inputs
@@ -85,15 +100,18 @@ def main():
 
         xd = jax.device_put(jnp.asarray(x))
         float(loop(params, xd, jnp.int32(3)))   # compile
-        loops[b] = (loop, params, xd)
-        flops[b] = rootbench.graph_flops(eng.graph) * b
-        print(f"compiled b{b}", file=sys.stderr, flush=True)
+        key = (b, variant)
+        loops[key] = (loop, params, xd)
+        flops[key] = rootbench.graph_flops(eng.graph) * b
+        print(f"compiled b{b} {variant or 'base'}",
+              file=sys.stderr, flush=True)
 
-    results = {b: [] for b in batches}
+    results = {k: [] for k in configs}
     warm = 5
     for r in range(args.rounds):
-        for b in batches:
-            loop, params, xd = loops[b]
+        for key in configs:
+            b, variant = key
+            loop, params, xd = loops[key]
             t0 = time.time()
             float(loop(params, xd, jnp.int32(warm)))
             t_short = time.time() - t0
@@ -101,17 +119,19 @@ def main():
             float(loop(params, xd, jnp.int32(warm + args.iters)))
             t_long = time.time() - t0
             dt = max(t_long - t_short, 1e-9) / args.iters
-            results[b].append(b / dt)
-            print(f"round {r} b{b}: {b/dt:,.0f} img/s",
-                  file=sys.stderr, flush=True)
+            results[key].append(b / dt)
+            print(f"round {r} b{b} {variant or 'base':12s}: "
+                  f"{b/dt:,.0f} img/s", file=sys.stderr, flush=True)
 
     peak = rootbench.device_peak_flops(int8=(args.quant == "w8a8"))
     print(f"\n{args.model} {args.quant} medians over {args.rounds} rounds:")
-    for b in batches:
-        med = float(np.median(results[b]))
-        frac = med * (flops[b] / b) / peak
-        print(f"  b{b:4d}: {med:10,.0f} img/s  SoL {frac*100:5.1f}%  "
-              f"(min {min(results[b]):,.0f} max {max(results[b]):,.0f})")
+    for key in configs:
+        b, variant = key
+        med = float(np.median(results[key]))
+        frac = med * (flops[key] / b) / peak
+        print(f"  b{b:4d} {variant or 'base':12s}: {med:10,.0f} img/s  "
+              f"SoL {frac*100:5.1f}%  "
+              f"(min {min(results[key]):,.0f} max {max(results[key]):,.0f})")
 
 
 if __name__ == "__main__":

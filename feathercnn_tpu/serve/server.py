@@ -197,6 +197,21 @@ class InferenceServer:
         return (self._healthy.is_set()
                 and time.time() - self._last_heartbeat < 5.0)
 
+    def prometheus_text(self) -> str:
+        """Gauges in Prometheus exposition format (SURVEY.md §5 metrics;
+        dependency-light like the reference's LOGI macros)."""
+        lines = []
+        for k, v in self.gauges().items():
+            if isinstance(v, bool):
+                v = int(v)
+            if isinstance(v, (int, float)):
+                lines.append(f"feathercnn_{k} {v}")
+            elif isinstance(v, dict):
+                for k2, v2 in v.items():
+                    if isinstance(v2, (int, float)):
+                        lines.append(f"feathercnn_{k}_{k2} {v2}")
+        return "\n".join(lines) + "\n"
+
     def gauges(self) -> Dict[str, Any]:
         m = dict(self.metrics)
         m["queue_depth"] = self.queue.depth()

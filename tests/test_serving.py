@@ -122,3 +122,12 @@ def test_server_int8_transfer_mode(rng):
                                    rtol=1e-3, atol=1e-3)
     finally:
         srv.stop()
+
+
+def test_prometheus_text():
+    eng = _tiny_engine()
+    srv = InferenceServer(eng, batch_size=2)
+    text = srv.prometheus_text()
+    assert "feathercnn_batches 0" in text
+    assert "feathercnn_healthy" in text
+    assert text.endswith("\n")

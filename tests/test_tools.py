@@ -72,3 +72,30 @@ def test_top1_agreement_fp_vs_int8(rng):
         agree += int(np.asarray(fp(x)).argmax()
                      == np.asarray(q(x)).argmax())
     assert agree / n >= 0.95, f"top-1 agreement {agree}/{n}"
+
+
+def test_ftpu_roundtrip_chain_regions(tmp_path, rng):
+    """Autotuned region decisions persist through the .ftpu artifact and
+    re-apply on load (restart-without-retune, SURVEY.md §5)."""
+    from feathercnn_tpu import Engine, EngineConfig
+    from feathercnn_tpu.model_format import load_ftpu, save_ftpu
+    from feathercnn_tpu.models.builder import GraphBuilder
+
+    b = GraphBuilder("rt", seed=3)
+    x = b.input("data", (2, 8, 8, 32))
+    x = b.conv("conv_in", x, 32, 1, relu=True)
+    a = b.conv("c1", x, 8, 1, relu=True)
+    c2 = b.conv("c2", a, 8, 3, pad=1, relu=True)
+    c3 = b.conv("c3", c2, 32, 1)
+    s = b.eltwise("add", [x, c3])
+    x = b.relu("relu", s)
+    x = b.conv("conv_out", x, 32, 1, relu=True)
+    g = b.finish([x])
+    g.meta["chain_regions"] = {"8x8x32x8": True}
+
+    path = str(tmp_path / "m.ftpu")
+    save_ftpu(g, path)
+    g2 = load_ftpu(path)
+    assert g2.meta["chain_regions"] == {"8x8x32x8": True}
+    eng = Engine(g2, EngineConfig(fuse_blocks=True, interpret=True))
+    assert any(n.op == "FusedBottleneck" for n in eng.graph.nodes)
