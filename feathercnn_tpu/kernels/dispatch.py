@@ -93,6 +93,10 @@ def conv_forward(node, x, w, bias, ctx):
         # C_out == group (channel multiplier 1), square stride 1-2.
         if group == x.shape[-1] and node.attrs["num_output"] == group \
                 and dil == 1 and sh == sw and sh in (1, 2):
+            if x.dtype == jnp.int8:   # defensive, as in the XLA fallback
+                xs_scale = q.get("x_scale", 1.0) if q else 1.0
+                x = (x.astype(jnp.float32) * xs_scale).astype(
+                    jnp.dtype(ctx.config.compute_dtype))
             wd = _dequant_weight(w, q, jnp.float32)
             y = depthwise_conv2d(x, wd.reshape(kh, kw, -1), bias,
                                  stride=sh, pad_h=ph, pad_w=pw,
@@ -169,6 +173,14 @@ def conv_forward(node, x, w, bias, ctx):
             preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * (q["w_scale"] * q["x_scale"])
     else:
+        # float fallback: if an int8 edge still reaches here (defensive —
+        # quant/rewrite keeps int8 away from grouped convs), dequantize
+        # the activation rather than corrupting the weights by casting
+        # their dequantized values to int8.
+        if x.dtype == jnp.int8:
+            xs_scale = q.get("x_scale", 1.0) if q else 1.0
+            x = (x.astype(jnp.float32) * xs_scale).astype(
+                jnp.dtype(ctx.config.compute_dtype))
         wd = _dequant_weight(w, q, x.dtype)
         y = jax.lax.conv_general_dilated(
             x, wd, (sh, sw), ((ph, ph), (pw, pw)),

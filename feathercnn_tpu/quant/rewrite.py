@@ -81,6 +81,10 @@ def quantize_graph(graph, mode: str) -> None:
         """Scale at which consumer c takes int8 on `value`, else None."""
         info = qmeta.get(c.name)
         if c.op in ("Convolution", "InnerProduct"):
+            # grouped/depthwise convs never run the int8 MXU path
+            # (kernels/dispatch.py) — they must receive float input
+            if c.attrs.get("group", 1) != 1:
+                return None
             if info and info.get("x_scale") is not None \
                     and c.inputs[0] == value:
                 return float(info["x_scale"])

@@ -149,3 +149,32 @@ def test_int8_edge_concat_mixed_branch_demoted(rng):
     assert not qm.get("left", {}).get("emit_int8")
     out_q = np.asarray(eng(xv))
     assert _cosine(ref, out_q) > 0.997
+
+
+def test_int8_edge_stops_before_depthwise(rng):
+    """Depthwise convs never take the int8 path, so a pointwise conv
+    feeding one must NOT emit int8 (regression: the XLA fallback used to
+    cast dequantized weights to x.dtype=int8, zeroing them)."""
+    b = GraphBuilder("mbn", seed=23)
+    x = b.input("data", (2, 16, 16, 8))
+    y = b.conv("pw1", x, 16, 1, relu=True)
+    y = b.dwconv("dw1", y, 3, pad=1, relu=True)
+    y = b.conv("pw2", y, 32, 1, relu=True)
+    y = b.dwconv("dw2", y, 3, stride=2, pad=1, relu=True)
+    y = b.conv("pw3", y, 32, 1, relu=True)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 10)
+    g = b.finish([y])
+
+    xv = rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    calibrate(g, [xv], method="max")
+    for algo in (None, "xla"):
+        cfg = EngineConfig(backend="pallas", quant="w8a8", interpret=True,
+                           algo_overrides=((("*", algo),) if algo else ()))
+        eng = Engine(g, cfg)
+        qm = eng.graph.meta["quant"]
+        assert not qm["pw1"].get("emit_int8")
+        assert not qm["pw2"].get("emit_int8")
+        out = np.asarray(eng(xv))
+        assert _cosine(ref, out) > 0.997, f"algo={algo}"
