@@ -188,3 +188,19 @@ def test_pipeline_stage_params_are_disjoint(rng):
     for i in range(len(names)):
         for j in range(i + 1, len(names)):
             assert not (names[i] & names[j])
+
+
+def test_pipeline_engine_int8(rng):
+    """Pipeline stages carry the quantized graph (int8 edges included)
+    and match the single-device quantized engine."""
+    from feathercnn_tpu.models import MODEL_BUILDERS
+    from feathercnn_tpu.parallel.pipeline import PipelineEngine
+    from feathercnn_tpu.quant import calibrate
+    g = MODEL_BUILDERS["squeezenet_v11"]()
+    x = rng.normal(size=(2, 227, 227, 3)).astype(np.float32)
+    calibrate(g, [x], method="max")
+    cfg = EngineConfig(backend="pallas", quant="w8a8", interpret=True)
+    ref = np.asarray(Engine(g, cfg)(x))
+    pipe = PipelineEngine(g, cfg, num_stages=3)
+    out = np.asarray(pipe(x, micro_batches=2))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
