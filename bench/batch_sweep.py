@@ -28,10 +28,10 @@ def main():
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--variants", default=None,
-                    help="comma list of EngineConfig boolean fields to "
-                         "A/B at the FIRST batch size (e.g. "
-                         "'s2d_stem,fuse_chains'); each runs paired "
-                         "against the baseline config")
+                    help="comma list of EngineConfig boolean fields "
+                         "(e.g. 's2d_stem,fuse_chains') or 'algo:NAME' "
+                         "overrides to A/B at the FIRST batch size; "
+                         "each runs paired against the baseline config")
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
     if args.quant in ("none", "None"):
@@ -75,7 +75,10 @@ def main():
         cfg = EngineConfig(compute_dtype=args.dtype,
                            backend="pallas", quant=args.quant,
                            algo_overrides=(("*", "xla"),))
-        if variant:
+        if variant and variant.startswith("algo:"):
+            cfg = cfg.replace(
+                algo_overrides=(("*", variant.split(":", 1)[1]),))
+        elif variant:
             cfg = cfg.replace(**{variant: True})
             if variant == "fuse_chains":
                 g.meta["chain_regions"] = {"*": True}

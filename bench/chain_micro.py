@@ -145,6 +145,55 @@ def main():
             [jnp.asarray(x8)], iters=20)
         print(f"ctx-xla   : {t*1e3:8.3f} ms", flush=True)
 
+    if "proj" in what:
+        # projection-block cost in context (XLA only, measurement for
+        # ROADMAP): branch1 1x1 C->4Cm, branch2a/b/c, eltwise — uses the
+        # stage's (C, Cm) with C_in = C (stride 1, res2a-like).
+        wb1 = jnp.asarray(rng.integers(-127, 128, size=(1, 1, C, C),
+                                       dtype=np.int8))
+        wcons = jnp.asarray(rng.integers(-127, 128, size=(1, 1, C, C),
+                                         dtype=np.int8))
+
+        def conv1x1(a, w, co):
+            y = jax.lax.conv_general_dilated(
+                a, w, (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return y
+
+        def proj_block(a):
+            b1 = conv1x1(a, wb1, C).astype(jnp.float32) * (1e-3 * s)
+            y = conv1x1(a, jnp.asarray(w1[0].reshape(1, 1, C, Cm)), Cm)
+            y = jnp.maximum(y.astype(jnp.float32) * (w1s[0] * s), 0)
+            y = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                y, jnp.asarray(w2[0].reshape(3, 3, Cm, Cm)), (1, 1),
+                ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = jnp.maximum(y.astype(jnp.float32) * (w2s[0] * s), 0)
+            y = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                y, jnp.asarray(w3[0].reshape(1, 1, Cm, C)), (1, 1),
+                ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * (w3s[0] * s)
+            out = jnp.maximum(y + b1, 0)
+            return jnp.clip(jnp.round(out / s), -127,
+                            127).astype(jnp.int8)
+
+        def cons2(a):
+            y = conv1x1(a, wcons, C)
+            return y.astype(jnp.float32).sum()
+
+        t = device_bench(lambda a: cons2(proj_block(a)), [jnp.asarray(x8)],
+                         iters=20)
+        pf = 2.0 * N * HW * HW * (2 * C * Cm + 9 * Cm * Cm + C * C) \
+            + 2.0 * N * HW * HW * C * C   # block + consumer conv
+        print(f"proj-ctx : {t*1e3:8.3f} ms  (~{pf/t/1e12:.0f} TOP/s "
+              f"incl consumer)", flush=True)
+
     if "xla" in what:
         # per-layer XLA int8 convs with int8 edges (the production path)
         from bench.ref_chains import xla_int8_bottlenecks

