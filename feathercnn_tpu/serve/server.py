@@ -49,11 +49,21 @@ class InferenceServer:
     def __init__(self, engine: Engine, batch_size: int = 32,
                  batch_timeout_us: int = 2000, max_retries: int = 1,
                  prefer_native_queue: bool = True,
-                 transfer_dtype: Optional[str] = "auto"):
+                 transfer_dtype: Optional[str] = "auto",
+                 batch_slots: Optional[list] = None):
         self.engine = engine
         self.batch_size = batch_size
         self.batch_timeout_us = batch_timeout_us
         self.max_retries = max_retries
+        # Multiple pre-compiled batch slots: a lightly loaded server runs
+        # small batches at low latency instead of padding every request
+        # group up to the full slot (the reference's analog is its
+        # pre-sized scratch pools — fixed shapes, chosen at Init).
+        # Slots are sorted ascending; dispatch picks the smallest slot
+        # that fits the collected group.
+        self.batch_slots = sorted(set(batch_slots or [batch_size]))
+        if self.batch_slots[-1] != batch_size:
+            self.batch_slots.append(batch_size)
         # Reduced-precision host->device transfer: the serving loop was
         # measured transfer-bound (BASELINE.md), so shrink the bytes on
         # the wire.  "auto": a full-int8 engine quantizes host-side with
@@ -106,12 +116,13 @@ class InferenceServer:
 
     # ------------------------------------------------------------------
     def start(self) -> None:
-        # Compile the fixed batch slot up front (Init-phase discipline) —
+        # Compile every batch slot up front (Init-phase discipline) —
         # with the dtype _run_batch will actually send, or the first real
         # batch would retrace.
-        warm = np.zeros((self.batch_size,) + self._item_shape, np.float32)
-        warm = self._to_transfer(warm)
-        self.engine.run({self._in_name: warm})
+        for slot in self.batch_slots:
+            warm = np.zeros((slot,) + self._item_shape, np.float32)
+            warm = self._to_transfer(warm)
+            self.engine.run({self._in_name: warm})
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         self._worker.start()
         self._heartbeat = threading.Thread(target=self._heartbeat_loop,
@@ -144,16 +155,18 @@ class InferenceServer:
 
     def _run_batch(self, batch: np.ndarray) -> np.ndarray:
         n_real = broadcast_plan(batch.shape[0])
-        if n_real < self.batch_size:
-            pad = np.zeros((self.batch_size - n_real,) + self._item_shape,
+        slot = next((s for s in self.batch_slots if s >= n_real),
+                    self.batch_slots[-1])
+        if n_real < slot:
+            pad = np.zeros((slot - n_real,) + self._item_shape,
                            np.float32)
             full = np.concatenate([batch[:n_real], pad])
-            self.metrics["pad_images"] += self.batch_size - n_real
+            self.metrics["pad_images"] += slot - n_real
         else:
-            full = batch
+            full = batch[:slot]
         full = self._to_transfer(full)
         out = self.engine.run({self._in_name: full})[self._out_name]
-        out = np.asarray(out, np.float32).reshape(self.batch_size, -1)
+        out = np.asarray(out, np.float32).reshape(slot, -1)
         return out[:batch.shape[0]].reshape(
             (batch.shape[0],) + self._result_shape)
 

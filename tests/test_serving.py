@@ -131,3 +131,21 @@ def test_prometheus_text():
     assert "feathercnn_batches 0" in text
     assert "feathercnn_healthy" in text
     assert text.endswith("\n")
+
+
+def test_multi_slot_batching(rng):
+    """batch_slots: a lightly loaded server picks the smallest slot that
+    fits the collected group (less padding, lower latency)."""
+    eng = _tiny_engine()
+    srv = InferenceServer(eng, batch_size=8, batch_slots=[2, 8],
+                          batch_timeout_us=1000)
+    assert srv.batch_slots == [2, 8]
+    srv.start()
+    try:
+        img = rng.normal(size=(8, 8, 3)).astype(np.float32)
+        out = srv.infer(img, timeout_s=30)
+        assert out is not None and out.shape == (4,)
+        # one request -> slot 2 -> exactly 1 pad image (not 7)
+        assert srv.metrics["pad_images"] == 1
+    finally:
+        srv.stop()
