@@ -149,3 +149,27 @@ def test_multi_slot_batching(rng):
         assert srv.metrics["pad_images"] == 1
     finally:
         srv.stop()
+
+
+def test_preprocess_native_matches_numpy(rng):
+    """C++ preprocessing (resize+normalize+quantize) matches the numpy
+    reference bit-for-bit-ish (f32) and exactly on int8."""
+    from feathercnn_tpu.serve import native_available, preprocess
+    img = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    ref = preprocess(img, (24, 24), mean, std, prefer_native=False)
+    assert ref.dtype == np.float32 and ref.shape == (24, 24, 3)
+    ref8 = preprocess(img, (24, 24), mean, std, quant_scale=0.02,
+                      prefer_native=False)
+    assert ref8.dtype == np.int8
+    if native_available():
+        out = preprocess(img, (24, 24), mean, std)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+        out8 = preprocess(img, (24, 24), mean, std, quant_scale=0.02)
+        # rounding at the .5 boundary may differ by 1 LSB on a few px
+        assert (out8 != ref8).mean() < 0.01
+    # identity resize: exact values
+    same = preprocess(img, (37, 53), (0, 0, 0), (1, 1, 1),
+                      prefer_native=False)
+    np.testing.assert_allclose(same, img.astype(np.float32) / 255.0,
+                               atol=1e-6)
