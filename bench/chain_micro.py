@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--nb", type=int, default=0, help="0 = stage default")
     ap.add_argument("--what", default="chain,xla,block",
-                    help="comma list: chain|xla|block")
+                    help="comma list: chain|xla|block|ctx|proj")
     ap.add_argument("--plan", default=None,
                     help="chunk,slab_rows override for the chain kernel")
     ap.add_argument("--fold", type=int, default=None,
@@ -154,16 +154,15 @@ def main():
         wcons = jnp.asarray(rng.integers(-127, 128, size=(1, 1, C, C),
                                          dtype=np.int8))
 
-        def conv1x1(a, w, co):
-            y = jax.lax.conv_general_dilated(
+        def conv1x1(a, w):
+            return jax.lax.conv_general_dilated(
                 a, w, (1, 1), ((0, 0), (0, 0)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32)
-            return y
 
         def proj_block(a):
-            b1 = conv1x1(a, wb1, C).astype(jnp.float32) * (1e-3 * s)
-            y = conv1x1(a, jnp.asarray(w1[0].reshape(1, 1, C, Cm)), Cm)
+            b1 = conv1x1(a, wb1).astype(jnp.float32) * (1e-3 * s)
+            y = conv1x1(a, jnp.asarray(w1[0].reshape(1, 1, C, Cm)))
             y = jnp.maximum(y.astype(jnp.float32) * (w1s[0] * s), 0)
             y = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
             y = jax.lax.conv_general_dilated(
@@ -184,8 +183,7 @@ def main():
                             127).astype(jnp.int8)
 
         def cons2(a):
-            y = conv1x1(a, wcons, C)
-            return y.astype(jnp.float32).sum()
+            return conv1x1(a, wcons).astype(jnp.float32).sum()
 
         t = device_bench(lambda a: cons2(proj_block(a)), [jnp.asarray(x8)],
                          iters=20)

@@ -71,6 +71,16 @@ def _quantize_act(x, x_scale: float):
                     -127, 127).astype(jnp.int8)
 
 
+def _dequant_int8_edge(x, q, ctx):
+    """Defensive: a float conv path handed an int8 edge dequantizes the
+    activation (quant/rewrite keeps int8 away from these paths)."""
+    if x.dtype != jnp.int8:
+        return x
+    xs_scale = q.get("x_scale", 1.0) if q else 1.0
+    return (x.astype(jnp.float32) * xs_scale).astype(
+        jnp.dtype(ctx.config.compute_dtype))
+
+
 def _out_spec(x, q):
     """(out_dtype, out_scale) for the epilogue: int8 when the int8-edge
     pass marked this node, else the float compute dtype."""
@@ -93,10 +103,7 @@ def conv_forward(node, x, w, bias, ctx):
         # C_out == group (channel multiplier 1), square stride 1-2.
         if group == x.shape[-1] and node.attrs["num_output"] == group \
                 and dil == 1 and sh == sw and sh in (1, 2):
-            if x.dtype == jnp.int8:   # defensive, as in the XLA fallback
-                xs_scale = q.get("x_scale", 1.0) if q else 1.0
-                x = (x.astype(jnp.float32) * xs_scale).astype(
-                    jnp.dtype(ctx.config.compute_dtype))
+            x = _dequant_int8_edge(x, q, ctx)
             wd = _dequant_weight(w, q, jnp.float32)
             y = depthwise_conv2d(x, wd.reshape(kh, kw, -1), bias,
                                  stride=sh, pad_h=ph, pad_w=pw,
@@ -173,14 +180,7 @@ def conv_forward(node, x, w, bias, ctx):
             preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * (q["w_scale"] * q["x_scale"])
     else:
-        # float fallback: if an int8 edge still reaches here (defensive —
-        # quant/rewrite keeps int8 away from grouped convs), dequantize
-        # the activation rather than corrupting the weights by casting
-        # their dequantized values to int8.
-        if x.dtype == jnp.int8:
-            xs_scale = q.get("x_scale", 1.0) if q else 1.0
-            x = (x.astype(jnp.float32) * xs_scale).astype(
-                jnp.dtype(ctx.config.compute_dtype))
+        x = _dequant_int8_edge(x, q, ctx)
         wd = _dequant_weight(w, q, x.dtype)
         y = jax.lax.conv_general_dilated(
             x, wd, (sh, sw), ((ph, ph), (pw, pw)),

@@ -31,13 +31,15 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     global _lib, _build_attempted
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build_attempted:
+    if not _build_attempted:
+        # always invoke make (a no-op when the .so is fresh): sources
+        # added after an old build would otherwise never be picked up
         _build_attempted = True
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            pass
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)

@@ -61,9 +61,7 @@ class InferenceServer:
         # pre-sized scratch pools — fixed shapes, chosen at Init).
         # Slots are sorted ascending; dispatch picks the smallest slot
         # that fits the collected group.
-        self.batch_slots = sorted(set(batch_slots or [batch_size]))
-        if self.batch_slots[-1] != batch_size:
-            self.batch_slots.append(batch_size)
+        self.batch_slots = sorted(set((batch_slots or []) + [batch_size]))
         # Reduced-precision host->device transfer: the serving loop was
         # measured transfer-bound (BASELINE.md), so shrink the bytes on
         # the wire.  "auto": a full-int8 engine quantizes host-side with
@@ -75,8 +73,12 @@ class InferenceServer:
         if transfer_dtype in ("auto", "int8") \
                 and engine.config.quant == "w8a8":
             qm = engine.graph.meta.get("quant", {})
+            graph_in = next(iter(engine.graph.inputs))
+            # the scale only applies if the first conv consumes the raw
+            # graph input directly (no mean-subtract/Scale/pool between)
             first_conv = next((n for n in engine.graph.nodes
-                               if n.op == "Convolution"), None)
+                               if n.op == "Convolution"
+                               and n.inputs[0] == graph_in), None)
             xs = (qm.get(first_conv.name, {}).get("x_scale")
                   if first_conv is not None else None)
             if xs:

@@ -67,7 +67,7 @@ def main():
         # TPU in-process; a child with jax_platforms=cpu stays off it)
         subprocess.run(
             [sys.executable, "-c", CPU_HELPER.format(root=root),
-             args.model, str(args.batch), args.quant or "none",
+             args.model, str(args.batch), quant or "none",
              args.dtype, xp, op],
             check=True, env={**os.environ, "PALLAS_AXON_POOL_IPS": "",
                              "JAX_PLATFORMS": "cpu"})
