@@ -66,3 +66,42 @@ class EngineConfig:
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)
+
+    # -- JSON round trip (SURVEY.md §5 config system: one dataclass,
+    # loadable from JSON/CLI; the reference's analog is CMake options +
+    # Net(num_threads)) ---------------------------------------------------
+    @classmethod
+    def from_json(cls, src) -> "EngineConfig":
+        """Build from a dict, JSON string, or path to a JSON file.
+        ``algo_overrides`` may be given as a mapping; ``sharding`` as a
+        dict of ShardingConfig fields."""
+        import json
+        import os
+        if isinstance(src, (str, bytes)) and os.path.exists(src):
+            with open(src) as f:
+                src = json.load(f)
+        elif isinstance(src, (str, bytes)):
+            src = json.loads(src)
+        d = dict(src)
+        if isinstance(d.get("algo_overrides"), dict):
+            d["algo_overrides"] = tuple(d["algo_overrides"].items())
+        elif d.get("algo_overrides"):
+            d["algo_overrides"] = tuple(
+                tuple(kv) for kv in d["algo_overrides"])
+        if isinstance(d.get("sharding"), dict):
+            from .parallel.mesh import ShardingConfig
+            s = dict(d["sharding"])
+            for k in ("mesh_shape", "axis_names"):
+                if k in s:
+                    s[k] = tuple(s[k])
+            d["sharding"] = ShardingConfig(**s)
+        return cls(**d)
+
+    def to_json(self) -> str:
+        import dataclasses as dc
+        import json
+        d = dc.asdict(self)
+        d["algo_overrides"] = dict(self.algo_overrides)
+        if self.sharding is not None:
+            d["sharding"] = dc.asdict(self.sharding)
+        return json.dumps(d, indent=1)

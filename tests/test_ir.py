@@ -71,3 +71,19 @@ def test_concat_slice_shapes():
     assert g.specs["s0"].shape == (1, 4, 4, 2)
     assert g.specs["s1"].shape == (1, 4, 4, 4)
     assert g.specs["c"].shape == (1, 4, 4, 6)
+
+
+def test_engine_config_json_roundtrip(tmp_path):
+    from feathercnn_tpu import EngineConfig
+    from feathercnn_tpu.parallel import ShardingConfig
+    cfg = EngineConfig(compute_dtype="bfloat16", backend="pallas",
+                       quant="w8a8",
+                       algo_overrides=(("conv1", "implicit"),),
+                       sharding=ShardingConfig(mesh_shape=(2, 4)))
+    s = cfg.to_json()
+    back = EngineConfig.from_json(s)
+    assert back == cfg
+    p = tmp_path / "cfg.json"
+    p.write_text(s)
+    assert EngineConfig.from_json(str(p)) == cfg
+    assert EngineConfig.from_json({"quant": "w8"}).quant == "w8"

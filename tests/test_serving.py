@@ -173,3 +173,32 @@ def test_preprocess_native_matches_numpy(rng):
                       prefer_native=False)
     np.testing.assert_allclose(same, img.astype(np.float32) / 255.0,
                                atol=1e-6)
+
+
+def test_sharded_engine_serving(rng):
+    """Serving over a DP-sharded engine on the virtual 8-device mesh —
+    the multi-chip serving integration path in CI."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from feathercnn_tpu.parallel import ShardingConfig
+    b = GraphBuilder("srvdp", seed=31)
+    x = b.input("data", (8, 8, 8, 3))
+    y = b.conv("c1", x, 16, 3, pad=1, relu=True)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 4)
+    g = b.finish([y])
+    eng = Engine(g, EngineConfig(
+        sharding=ShardingConfig(mesh_shape=(8, 1))))
+    ref = Engine(g)
+    srv = InferenceServer(eng, batch_size=8, batch_timeout_us=2000,
+                          transfer_dtype=None)
+    srv.start()
+    try:
+        img = rng.normal(size=(8, 8, 3)).astype(np.float32)
+        out = srv.infer(img, timeout_s=30)
+        want = np.asarray(ref.run({"data": img[None]})["fc"])[0]
+        np.testing.assert_allclose(out.ravel(), want.ravel(),
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        srv.stop()

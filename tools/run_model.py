@@ -34,6 +34,9 @@ def main():
                     help="blob name to dump (repeatable)")
     ap.add_argument("--dump-dir", default=".")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--config", default=None,
+                    help="EngineConfig JSON file (overrides "
+                         "--dtype/--quant)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -42,7 +45,10 @@ def main():
 
     from feathercnn_tpu import Engine, EngineConfig
 
-    cfg = EngineConfig(compute_dtype=args.dtype, quant=args.quant)
+    if args.config:
+        cfg = EngineConfig.from_json(args.config)
+    else:
+        cfg = EngineConfig(compute_dtype=args.dtype, quant=args.quant)
     if os.path.exists(args.model):
         eng = Engine.from_path(args.model, cfg)
     else:
