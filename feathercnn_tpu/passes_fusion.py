@@ -155,9 +155,9 @@ def fuse_chains(graph: Graph, act_itemsize: int = 2) -> int:
     """Merge runs of same-shape FusedBottleneck nodes into FusedChain nodes.
 
     All identity blocks inside one ResNet stage share an (H, W, C, Cm)
-    signature, so a stage's 2-5 blocks become ONE pallas_call whose grid
-    walks (batch_chunk, block): activations stay in VMEM scratch across
-    blocks, per-block weights stream with Mosaic double-buffering
+    signature, so a stage's 2-5 blocks become ONE pallas_call: the block
+    loop unrolls inside the kernel, activations stay in VMEM between
+    blocks, and all blocks' weights are VMEM-resident for the call
     (kernels/fused_chain.py).  Runs after fuse_bottlenecks.  Returns the
     number of chains formed.
     """
