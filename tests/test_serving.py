@@ -202,3 +202,30 @@ def test_sharded_engine_serving(rng):
                                    rtol=1e-4, atol=1e-5)
     finally:
         srv.stop()
+
+
+def test_server_retry_then_success(rng):
+    """A transient batch failure retries and succeeds: clients get real
+    results, the fault is counted, health stays up."""
+    eng = _tiny_engine()
+    srv = InferenceServer(eng, batch_size=4, batch_timeout_us=1000,
+                          max_retries=1, prefer_native_queue=False)
+    real = srv._run_batch
+    state = {"fails": 1}
+
+    def flaky(batch):
+        if state["fails"] > 0:
+            state["fails"] -= 1
+            raise RuntimeError("transient")
+        return real(batch)
+
+    srv._run_batch = flaky
+    srv.start()
+    try:
+        out = srv.infer(rng.normal(size=(8, 8, 3)).astype(np.float32),
+                        timeout_s=30)
+        assert out is not None and not np.isnan(out).any()
+        assert srv.metrics["faults"] == 1
+        assert srv.healthy()
+    finally:
+        srv.stop()
