@@ -31,6 +31,8 @@ def main():
                     help="chunk,slab_rows override for the chain kernel")
     ap.add_argument("--fold", type=int, default=None,
                     help="conv2 tap fold (1|3|9)")
+    ap.add_argument("--idchunk", type=int, default=2,
+                    help="batch chunk for the idctx identity kernel")
     args = ap.parse_args()
     plan = (tuple(int(v) for v in args.plan.split(","))
             if args.plan else None)
@@ -144,6 +146,62 @@ def main():
                 prod(a), w1, w2, w3, w1s, w2s, w3s, s, nb, C, Cm)),
             [jnp.asarray(x8)], iters=20)
         print(f"ctx-xla   : {t*1e3:8.3f} ms", flush=True)
+
+    if "idctx" in what:
+        # boundary-cost isolation: producer -> IDENTITY pallas kernel ->
+        # consumer vs producer -> consumer directly.  The delta is the
+        # pure custom-call cost (layout/sync), independent of any real
+        # kernel work.
+        import jax.numpy as jnp2
+        from jax.experimental import pallas as pl
+
+        win = jnp.asarray(rng.integers(-127, 128, size=(1, 1, C, C),
+                                       dtype=np.int8))
+        wout = jnp.asarray(rng.integers(-127, 128, size=(1, 1, C, C // 2),
+                                        dtype=np.int8))
+
+        def prod(a):
+            y = jax.lax.conv_general_dilated(
+                a, win, (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = jnp.maximum(y.astype(jnp.float32) * (1e-3 * s), 0)
+            return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+
+        def cons(a):
+            y = jax.lax.conv_general_dilated(
+                a, wout, (2, 2), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return y.astype(jnp.float32).sum()
+
+        chunk = args.idchunk
+
+        def ident(x):
+            q = N // chunk
+            xs = x.reshape(q, chunk, HW, HW, C)
+
+            def k(x_ref, o_ref):
+                o_ref[0] = x_ref[0]
+
+            out = pl.pallas_call(
+                k, grid=(q,),
+                in_specs=[pl.BlockSpec((1, chunk, HW, HW, C),
+                                       lambda i: (i, 0, 0, 0, 0))],
+                out_specs=pl.BlockSpec((1, chunk, HW, HW, C),
+                                       lambda i: (i, 0, 0, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((q, chunk, HW, HW, C),
+                                               x.dtype),
+            )(xs)
+            return out.reshape(N, HW, HW, C)
+
+        t0 = device_bench(lambda a: cons(prod(a)), [jnp.asarray(x8)],
+                          iters=20)
+        print(f"idctx-none  : {t0*1e3:8.3f} ms", flush=True)
+        t1 = device_bench(lambda a: cons(ident(prod(a))), [jnp.asarray(x8)],
+                          iters=20)
+        print(f"idctx-pallas: {t1*1e3:8.3f} ms  (boundary "
+              f"{(t1-t0)*1e3:+.3f} ms)", flush=True)
 
     if "proj" in what:
         # projection-block cost in context (XLA only, measurement for
