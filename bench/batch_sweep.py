@@ -78,6 +78,8 @@ def main():
         if variant and variant.startswith("algo:"):
             cfg = cfg.replace(
                 algo_overrides=(("*", variant.split(":", 1)[1]),))
+        elif variant and variant.startswith("no-"):
+            cfg = cfg.replace(**{variant[3:]: False})
         elif variant:
             cfg = cfg.replace(**{variant: True})
             if variant == "fuse_chains":

@@ -41,6 +41,11 @@ class EngineConfig:
     # Run Pallas kernels in interpreter mode (CPU CI without a TPU).
     interpret: bool = False
 
+    # Horizontal fusion: merge sibling convs (same input, same geometry)
+    # into one wider conv + channel Slice (passes.merge_sibling_convs) —
+    # one HBM read of the shared input instead of one per sibling.
+    merge_siblings: bool = True
+
     # Persistent compiled-executable cache directory (cuts serving restart
     # latency — SURVEY.md §5 checkpoint/resume).  None disables.
     compilation_cache_dir: Optional[str] = None

@@ -46,7 +46,8 @@ class Engine:
             self.config = self.config.replace(
                 algo_overrides=tuple(baked.items()))
         if optimize_graph:
-            optimize(self.graph)
+            optimize(self.graph,
+                     merge_siblings=self.config.merge_siblings)
         if self.config.quant:
             from .quant.rewrite import quantize_graph
             quantize_graph(self.graph, self.config.quant)

@@ -92,10 +92,15 @@ def _out_spec(x, q):
 def conv_forward(node, x, w, bias, ctx):
     kh, kw, sh, sw, ph, pw, dil, group = _hparams(node)
     act = node.attrs.get("activation")
+    segs = node.attrs.get("act_segments")
     q = ctx.qinfo(node)
     cin = x.shape[-1]
     algo = ctx.config.algo_for(node.name) or select_algo(
         node, cin * group if group > 1 else cin, q is not None)
+    if segs is not None:
+        # per-channel activation segments (merged sibling convs) are an
+        # XLA-epilogue feature; the Pallas kernels take one static act
+        algo = "xla"
     interpret = ctx.config.interpret
 
     if algo == "depthwise":
@@ -190,7 +195,10 @@ def conv_forward(node, x, w, bias, ctx):
             preferred_element_type=jnp.float32)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
-    if act == "relu":
+    if segs is not None:
+        from ..ops.lowering import apply_act_segments
+        y = apply_act_segments(y, segs)
+    elif act == "relu":
         y = jnp.maximum(y, 0)
     elif act == "relu6":
         y = jnp.clip(y, 0, 6)

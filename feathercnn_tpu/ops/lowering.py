@@ -71,6 +71,20 @@ def apply_activation(x: jnp.ndarray, act: Optional[str]) -> jnp.ndarray:
     raise ValueError(f"unknown activation {act!r}")
 
 
+def apply_act_segments(y: jnp.ndarray, segments) -> jnp.ndarray:
+    """Per-output-channel activation for horizontally-merged convs
+    (passes.merge_sibling_convs): each (act, channels) segment gets its own
+    clamp bounds, applied as ONE vectorized clip the compiler fuses into
+    the conv epilogue.  ``y`` must be float (pre-requant)."""
+    lo = np.concatenate([
+        np.full(c, 0.0 if a in ("relu", "relu6") else -np.inf, np.float32)
+        for a, c in segments])
+    hi = np.concatenate([
+        np.full(c, 6.0 if a == "relu6" else np.inf, np.float32)
+        for a, c in segments])
+    return jnp.minimum(jnp.maximum(y, lo), hi)
+
+
 # ----------------------------------------------------------------------
 # Convolution family
 # ----------------------------------------------------------------------
@@ -111,7 +125,8 @@ def _lower_conv(node, inputs, params, ctx):
     )
     if bias is not None:
         y = y + bias.astype(jnp.float32)
-    y = apply_activation(y, act)
+    segs = node.attrs.get("act_segments")
+    y = apply_act_segments(y, segs) if segs else apply_activation(y, act)
     return [y.astype(x.dtype)]
 
 

@@ -14,12 +14,14 @@ Pass order (``optimize``):
   3. fold_scale          -- Scale folds into preceding Conv/InnerProduct
   4. fuse_activation     -- ReLU/ReLU6/LeakyReLU folds into the producer's
                             epilogue (Conv/InnerProduct/Eltwise/Scale)
-  5. dce                 -- drop nodes whose outputs are never used
+  5. merge_sibling_convs -- horizontal fusion: convs sharing one input and
+                            identical geometry become ONE wider conv + Slice
+  6. dce                 -- drop nodes whose outputs are never used
 """
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -31,6 +33,7 @@ __all__ = [
     "fold_batchnorm",
     "fold_scale",
     "fuse_activation",
+    "merge_sibling_convs",
     "dce",
 ]
 
@@ -41,11 +44,13 @@ _FOLDABLE = {"Convolution", "InnerProduct"}
 _EPILOGUE_OPS = {"Convolution", "InnerProduct", "Eltwise", "Scale"}
 
 
-def optimize(graph: Graph) -> Graph:
+def optimize(graph: Graph, merge_siblings: bool = True) -> Graph:
     drop_identities(graph)
     fold_batchnorm(graph)
     fold_scale(graph)
     fuse_activation(graph)
+    if merge_siblings:
+        merge_sibling_convs(graph)
     dce(graph)
     topo_sort(graph)
     graph.validate()
@@ -197,6 +202,170 @@ def fuse_activation(graph: Graph) -> None:
         else:
             keep.append(n)
     graph.nodes = keep
+
+
+# ----------------------------------------------------------------------
+def _conv_geom(n: Node):
+    a = n.attrs
+    return (a.get("kernel_h", a.get("kernel_size", 1)),
+            a.get("kernel_w", a.get("kernel_size", 1)),
+            a.get("stride_h", a.get("stride", 1)),
+            a.get("stride_w", a.get("stride", 1)),
+            a.get("pad_h", a.get("pad", 0)),
+            a.get("pad_w", a.get("pad", 0)),
+            a.get("dilation", 1))
+
+
+def _aligned_sibling_order(sibs: List[Node], lane_align: int
+                           ) -> Optional[List[Node]]:
+    """Largest subset (ties: first in node order) of ``sibs`` that can be
+    ordered so every internal concat boundary is a multiple of
+    ``lane_align`` — unaligned channel slices relayout on TPU (the vector
+    lanes are 128 wide), measured to cost more than the merge saves."""
+    import itertools
+    idx = range(len(sibs))
+    for r in range(len(sibs), 1, -1):
+        for combo in itertools.combinations(idx, r):
+            for perm in itertools.permutations(combo):
+                cs = [sibs[i].attrs["num_output"] for i in perm]
+                if all(p % lane_align == 0 for p in np.cumsum(cs)[:-1]):
+                    return [sibs[i] for i in perm]
+    return None
+
+
+def merge_sibling_convs(graph: Graph, lane_align: int = 128) -> int:
+    """Horizontal fusion: convs that read the SAME input with identical
+    kernel/stride/pad/dilation merge into ONE conv with concatenated output
+    channels, followed by a channel ``Slice`` that re-exposes the original
+    value names.  The input feature map is read from HBM once instead of
+    once per sibling, and the merged GEMM presents a wider N to the MXU.
+
+    The reference has no analog (its fusion is vertical only,
+    [pub] src/net.cpp TryFuse); this is a TPU-first pass targeting ResNet
+    projection blocks (branch1 + branch2a share the block input) and
+    GoogLeNet inception reduce convs (1x1 / 3x3_reduce / 5x5_reduce share
+    the module input).
+
+    Mixed per-branch activations (branch1 has none, branch2a has ReLU) are
+    kept exact via an ``act_segments`` attr — a per-output-channel clamp
+    applied in the epilogue (ops/lowering.apply_act_segments).
+
+    Full-int8 interplay: the merged output physically carries ONE int8
+    scale, so when ``graph.meta['value_scales']`` is already calibrated the
+    pass (a) only merges siblings whose consumers are scale-declaring ops
+    (conv/FC/Eltwise-SUM — ops that accept any declared per-tensor scale,
+    unlike Concat whose agreed scale would cascade), and (b) overrides the
+    slice outputs' value scales to the max over siblings so quant/rewrite's
+    int8-edge marking sees one consistent scale.  Returns the number of
+    merges performed.
+    """
+    consumers = graph.consumers()
+    value_scales = graph.meta.get("value_scales") or {}
+    quant_aware = bool(value_scales)
+
+    def mergeable(n: Node) -> bool:
+        return (n.op == "Convolution"
+                and n.attrs.get("group", 1) == 1
+                and bool(n.params)
+                and graph.params[n.params[0]].dtype == np.float32
+                and n.attrs.get("activation") in (None, "relu", "relu6")
+                and n.outputs[0] not in graph.outputs)
+
+    def consumers_ok(out: str) -> bool:
+        """Quant mode: every consumer must accept an int8 edge at a scale
+        WE declare (conv/FC data input, Eltwise-SUM operand)."""
+        for c in consumers.get(out, []):
+            if c.op in ("Convolution", "InnerProduct"):
+                if c.op == "Convolution" and c.attrs.get("group", 1) != 1:
+                    return False
+                if c.inputs[0] != out:
+                    return False
+            elif (c.op == "Eltwise"
+                  and c.attrs.get("operation", "SUM") == "SUM"
+                  and not c.attrs.get("coeffs")):
+                continue
+            else:
+                return False
+        return True
+
+    groups: Dict[tuple, List[Node]] = {}
+    for n in graph.nodes:
+        if mergeable(n):
+            groups.setdefault((n.inputs[0], _conv_geom(n)), []).append(n)
+
+    merges: Dict[str, List[Node]] = {}  # first-sibling name -> replacement
+    removed = set()
+    n_merged = 0
+    for (inp, _geom), sibs in groups.items():
+        if quant_aware:
+            sibs = [s for s in sibs
+                    if consumers_ok(s.outputs[0])
+                    and value_scales.get(s.outputs[0]) is not None]
+        if len(sibs) < 2:
+            continue
+        if len(sibs) > 5:       # bound the permutation search
+            sibs = sibs[:5]
+        sibs = _aligned_sibling_order(sibs, lane_align)
+        if sibs is None:
+            continue
+        co = [s.attrs["num_output"] for s in sibs]
+        w_m = np.concatenate([graph.params[s.params[0]] for s in sibs],
+                             axis=-1)
+        has_bias = any(s.attrs.get("bias_term", True) and len(s.params) > 1
+                       for s in sibs)
+        mname = "+".join(s.name for s in sibs)
+        attrs = dict(sibs[0].attrs)
+        attrs["num_output"] = int(sum(co))
+        attrs["bias_term"] = has_bias
+        acts = [s.attrs.get("activation") for s in sibs]
+        if len(set(acts)) == 1:
+            if acts[0] is None:
+                attrs.pop("activation", None)
+            else:
+                attrs["activation"] = acts[0]
+        else:
+            attrs.pop("activation", None)
+            attrs["act_segments"] = tuple(zip(acts, co))
+
+        params = [mname + "/w"]
+        graph.params[mname + "/w"] = w_m
+        if has_bias:
+            biases = []
+            for s in sibs:
+                if s.attrs.get("bias_term", True) and len(s.params) > 1:
+                    biases.append(
+                        graph.params[s.params[1]].astype(np.float32))
+                else:
+                    biases.append(
+                        np.zeros(s.attrs["num_output"], np.float32))
+            graph.params[mname + "/b"] = np.concatenate(biases)
+            params.append(mname + "/b")
+
+        merged = Node(name=mname, op="Convolution", inputs=[inp],
+                      outputs=[mname], attrs=attrs, params=params)
+        points = list(np.cumsum(co)[:-1].astype(int))
+        slc = Node(name=mname + "/slice", op="Slice", inputs=[mname],
+                   outputs=[s.outputs[0] for s in sibs],
+                   attrs={"axis": -1,
+                          "slice_points": [int(p) for p in points]})
+        merges[sibs[0].name] = [merged, slc]
+        removed.update(s.name for s in sibs)
+        n_merged += 1
+        if quant_aware:
+            s_shared = max(float(value_scales[s.outputs[0]]) for s in sibs)
+            for s in sibs:
+                value_scales[s.outputs[0]] = s_shared
+
+    if not merges:
+        return 0
+    out_nodes: List[Node] = []
+    for n in graph.nodes:
+        if n.name in merges:
+            out_nodes.extend(merges[n.name])
+        elif n.name not in removed:
+            out_nodes.append(n)
+    graph.nodes = out_nodes
+    return n_merged
 
 
 # ----------------------------------------------------------------------
