@@ -13,8 +13,8 @@ from ..ir import Graph
 from .builder import GraphBuilder
 
 __all__ = ["squeezenet_v11", "mobilenet_v1", "vgg16", "resnet50",
-           "resnet101", "resnet152", "googlenet", "build_model",
-           "MODEL_BUILDERS"]
+           "resnet101", "resnet152", "googlenet", "densenet121",
+           "resnext50", "build_model", "MODEL_BUILDERS"]
 
 
 def squeezenet_v11(batch: int = 1, seed: int = 0,
@@ -224,6 +224,93 @@ def googlenet(batch: int = 1, seed: int = 0, with_softmax: bool = True) -> Graph
     return b.finish([x])
 
 
+def densenet121(batch: int = 1, seed: int = 0,
+                with_softmax: bool = True) -> Graph:
+    """DenseNet-121 (224x224), Caffe deploy structure (the public
+    DenseNet-Caffe release): pre-activation BN+Scale+ReLU before every
+    conv, dense blocks of concatenated growth-32 features, 0.5-compression
+    transitions.  Exercises long Concat chains (int8-edge propagation) and
+    standalone Scale nodes (pre-activation BN cannot fold into a preceding
+    conv across a Concat)."""
+    b = GraphBuilder("densenet121", seed)
+
+    def bn_relu(name, x):
+        x = b.bn_scale(name, x)
+        return b.relu(name + "/relu", x)
+
+    def dense_layer(name, x, growth=32):
+        y = bn_relu(name + "/x1", x)
+        y = b.conv(name + "/x1", y, 4 * growth, 1, bias=False)
+        y = bn_relu(name + "/x2", y)
+        return b.conv(name + "/x2", y, growth, 3, pad=1, bias=False)
+
+    x = b.input("data", (batch, 224, 224, 3))
+    x = b.conv("conv1", x, 64, 7, stride=2, pad=3, bias=False)
+    x = bn_relu("conv1", x)
+    x = b.pool("pool1", x, 3, 2)
+    ch = 64
+    for stage, layers in zip((2, 3, 4, 5), (6, 12, 24, 16)):
+        for j in range(1, layers + 1):
+            y = dense_layer(f"conv{stage}_{j}", x)
+            x = b.concat(f"concat_{stage}_{j}", [x, y])
+            ch += 32
+        if stage < 5:
+            x = bn_relu(f"conv{stage}_blk", x)
+            ch //= 2
+            x = b.conv(f"conv{stage}_blk", x, ch, 1, bias=False)
+            x = b.pool(f"pool{stage}", x, 2, 2, mode="AVE")
+    x = bn_relu("conv5_blk", x)
+    x = b.pool("pool5", x, 0, mode="AVE", global_pooling=True)
+    x = b.fc("fc6", x, 1000)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    return b.finish([x])
+
+
+def resnext50(batch: int = 1, seed: int = 0,
+              with_softmax: bool = True) -> Graph:
+    """ResNeXt-50 (32x4d), Caffe deploy structure: bottlenecks whose 3x3
+    conv is grouped (cardinality 32) — exercises the grouped-conv path
+    (XLA feature_group_count; quant/rewrite keeps grouped convs on float
+    inputs)."""
+    b = GraphBuilder("resnext50", seed)
+
+    def conv_bn(name, x, ch, kernel, stride=1, pad=0, group=1, relu=True):
+        x = b.conv(name, x, ch, kernel, stride, pad, group=group,
+                   bias=False)
+        x = b.bn_scale(name + "_bnsc", x)
+        if relu:
+            x = b.relu(name + "_relu", x)
+        return x
+
+    def block(name, x, ch, stride=1, project=False):
+        shortcut = x
+        if project:
+            shortcut = conv_bn(name + "_branch1", x, ch * 2, 1,
+                               stride=stride, relu=False)
+        y = conv_bn(name + "_branch2a", x, ch, 1)
+        y = conv_bn(name + "_branch2b", y, ch, 3, stride=stride, pad=1,
+                    group=32)
+        y = conv_bn(name + "_branch2c", y, ch * 2, 1, relu=False)
+        out = b.eltwise(name, [shortcut, y])
+        return b.relu(name + "_relu", out)
+
+    x = b.input("data", (batch, 224, 224, 3))
+    x = conv_bn("conv1", x, 64, 7, stride=2, pad=3)
+    x = b.pool("pool1", x, 3, 2)
+    for stage, (ch, blocks) in enumerate(
+            zip([128, 256, 512, 1024], [3, 4, 6, 3]), start=2):
+        for i in range(blocks):
+            stride = 2 if (i == 0 and stage > 2) else 1
+            x = block(f"res{stage}{chr(ord('a') + i)}", x, ch,
+                      stride=stride, project=(i == 0))
+    x = b.pool("pool5", x, 0, mode="AVE", global_pooling=True)
+    x = b.fc("fc1000", x, 1000)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    return b.finish([x])
+
+
 MODEL_BUILDERS = {
     "squeezenet_v11": squeezenet_v11,
     "mobilenet_v1": mobilenet_v1,
@@ -232,6 +319,8 @@ MODEL_BUILDERS = {
     "resnet101": resnet101,
     "resnet152": resnet152,
     "googlenet": googlenet,
+    "densenet121": densenet121,
+    "resnext50": resnext50,
 }
 
 

@@ -367,6 +367,19 @@ def _lower_power(node, inputs, params, ctx):
 def _lower_scale(node, inputs, params, ctx):
     """Standalone per-channel affine (un-folded Scale/BatchNorm)."""
     x = inputs[0]
+    q = ctx.qinfo(node)
+    if q is not None and q.get("scale_int8"):
+        # int8-edge affine (quant/rewrite.py scale_int8): dequant ->
+        # affine -> act -> requant, all in f32 registers, XLA-fused —
+        # keeps DenseNet-style Concat->BN->ReLU->Conv chains on int8.
+        xf = (x.astype(jnp.float32) * q["x_scale"] if x.dtype == jnp.int8
+              else x.astype(jnp.float32))
+        y = xf * params[0].astype(jnp.float32)
+        if node.attrs.get("bias_term", False) and len(params) > 1:
+            y = y + params[1].astype(jnp.float32)
+        y = apply_activation(y, node.attrs.get("activation"))
+        return [jnp.clip(jnp.round(y / q["y_scale"]), -127, 127)
+                .astype(jnp.int8)]
     gamma = params[0].astype(x.dtype)
     y = x * gamma
     if node.attrs.get("bias_term", False) and len(params) > 1:
@@ -432,6 +445,24 @@ def _lower_eltwise(node, inputs, params, ctx):
 @register_lowering("Concat")
 def _lower_concat(node, inputs, params, ctx):
     axis = node.attrs.get("axis", -1)
+    q = ctx.qinfo(node)
+    if q is not None and q.get("concat_int8"):
+        # requantizing concat (quant/rewrite.py): each operand arrives
+        # int8 at its own calibrated scale (rescale) or float (quantize);
+        # the output carries ONE scale.  All elementwise — XLA fuses it
+        # into the concat write, so the edge costs 1 byte/elem.
+        y = q["y_scale"]
+        parts = []
+        for x, s in zip(inputs, q["in_scales"]):
+            if x.dtype == jnp.int8:
+                if s is not None and s != y:
+                    x = jnp.clip(jnp.round(x.astype(jnp.float32) * (s / y)),
+                                 -127, 127).astype(jnp.int8)
+                parts.append(x)
+            else:
+                parts.append(jnp.clip(jnp.round(x.astype(jnp.float32) / y),
+                                      -127, 127).astype(jnp.int8))
+        return [jnp.concatenate(parts, axis=axis)]
     return [jnp.concatenate(inputs, axis=axis)]
 
 

@@ -45,9 +45,12 @@ def calibrate(graph, batches: Iterable, method: str = "percentile",
     eng = Engine(graph, config or EngineConfig())
     targets = {n.name: n.inputs[0] for n in eng.graph.nodes
                if n.op in ("Convolution", "InnerProduct")}
-    # Also calibrate Eltwise operand values so residual adds can run on
-    # int8 edges (quant/rewrite.py int8-eltwise pass).
-    extra_values = [i for n in eng.graph.nodes if n.op == "Eltwise"
+    # Also calibrate Eltwise/Concat operand values and Scale inputs so
+    # residual adds, requantizing concats, and int8 affines can run on
+    # int8 edges (quant/rewrite.py eltwise_int8 / concat_int8 /
+    # scale_int8).
+    extra_values = [i for n in eng.graph.nodes
+                    if n.op in ("Eltwise", "Concat", "Scale")
                     for i in n.inputs]
     all_values = set(targets.values()) | set(extra_values)
     # Graph inputs aren't extractable outputs; their scale comes from data.

@@ -58,7 +58,16 @@ def quantize_graph(graph, mode: str) -> None:
     #   - a *scale-transparent* op (MAX pooling, Concat, Slice, Split,
     #     Flatten, Reshape, Dropout) accepts int8 at whatever scale its
     #     own output edge carries — max/concat/reshape commute with the
-    #     (monotone, elementwise) quantization, so int8 rides through.
+    #     (monotone, elementwise) quantization, so int8 rides through;
+    #   - a *requantizing* Concat (concat_int8) — fallback when the
+    #     passthrough's single-scale requirement fails (DenseNet chains,
+    #     mixed branches): each input arrives int8 at its own calibrated
+    #     scale (or float) and is rescaled/quantized to the output scale
+    #     in the (XLA-fused) concat lowering;
+    #   - an int8 Scale (scale_int8): per-channel affine + fused act runs
+    #     dequant -> affine -> act -> requant in registers — this is what
+    #     lets DenseNet's pre-activation Concat->BN->ReLU->Conv chains
+    #     stay int8 end-to-end.
     # The producer then requantizes in its epilogue (emit_int8/y_scale,
     # kernels/matmul.py out_scale) — no standalone quantize op, half the
     # HBM traffic on the edge.  The reference has no analog (fp32-only);
@@ -94,6 +103,15 @@ def quantize_graph(graph, mode: str) -> None:
                 s = value_scales.get(value)
                 return float(s) if s is not None else None
             return None
+        cinfo = qmeta.get(c.name) or {}
+        if c.op == "Concat" and cinfo.get("concat_int8"):
+            # requantizing concat: takes each operand at its own
+            # calibrated scale (rescaled in the lowering)
+            s = value_scales.get(value)
+            return float(s) if s is not None else None
+        if c.op == "Scale" and cinfo.get("scale_int8") \
+                and c.inputs[0] == value:
+            return float(cinfo["x_scale"])
         if _transparent(c) and c.name not in denied:
             s = edge_scale.get(c.outputs[0])
             if s is not None and all(
@@ -113,6 +131,17 @@ def quantize_graph(graph, mode: str) -> None:
             return None
         return scales[0]
 
+    def _try_concat_int8(n):
+        y_scale = _edge_scale_for(n.outputs[0])
+        if y_scale is not None:
+            qmeta[n.name] = {
+                "concat_int8": True,
+                "y_scale": float(y_scale),
+                "in_scales": [
+                    (float(value_scales[v]) if v in value_scales else None)
+                    for v in n.inputs],
+            }
+
     def _mark_pass():
         """One reverse-topological marking pass (honors ``denied``)."""
         edge_scale.clear()
@@ -120,7 +149,8 @@ def quantize_graph(graph, mode: str) -> None:
             info = qmeta.get(n.name)
             if info is None:
                 continue
-            if info.get("eltwise_int8") or info.get("passthrough_int8"):
+            if (info.get("eltwise_int8") or info.get("passthrough_int8")
+                    or info.get("concat_int8") or info.get("scale_int8")):
                 del qmeta[n.name]       # entries this pass owns
             else:
                 info.pop("emit_int8", None)
@@ -146,6 +176,19 @@ def quantize_graph(graph, mode: str) -> None:
                         edge_scale[o] = ss[0]
                     qmeta[n.name] = {"passthrough_int8": True,
                                      "y_scale": float(ss[0])}
+                elif n.op == "Concat":
+                    _try_concat_int8(n)
+            elif n.op == "Concat" and n.name in denied:
+                # passthrough proven impossible — fall back to the
+                # requantizing concat (each input at its own scale)
+                _try_concat_int8(n)
+            elif n.op == "Scale":
+                xs = value_scales.get(n.inputs[0])
+                y_scale = _edge_scale_for(n.outputs[0])
+                if xs is not None and y_scale is not None:
+                    qmeta[n.name] = {"scale_int8": True,
+                                     "x_scale": float(xs),
+                                     "y_scale": float(y_scale)}
             info = qmeta.get(n.name)
             if info is not None and "x_scale" in info:
                 y_scale = _edge_scale_for(n.outputs[0])
@@ -157,7 +200,9 @@ def quantize_graph(graph, mode: str) -> None:
         p = producers.get(v)
         info = qmeta.get(p.name) if p is not None else None
         if info and (info.get("emit_int8") or info.get("eltwise_int8")
-                     or info.get("passthrough_int8")):
+                     or info.get("passthrough_int8")
+                     or info.get("concat_int8")
+                     or info.get("scale_int8")):
             return info.get("y_scale")
         return None
 

@@ -127,3 +127,101 @@ def test_weight_only_top1_no_drop():
                                interpret=True))
     top1_q = float((np.asarray(q(xval)).argmax(-1) == yval).mean())
     assert top1_fp - top1_q <= 0.005 + 1e-9
+
+
+def _train_dense(steps=300, seed=5):
+    """DenseNet-style: conv -> concat -> affine+relu -> conv -> concat ->
+    affine+relu -> GAP -> fc.  Exercises the requantizing-concat and
+    int8-Scale edges (quant/rewrite concat_int8 / scale_int8) on trained
+    distributions."""
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_platforms", "cpu")
+    rng = np.random.default_rng(seed)
+
+    def init(shape, fan_in):
+        return jnp.asarray(rng.normal(0, np.sqrt(2.0 / fan_in),
+                                      size=shape).astype(np.float32))
+
+    params = {
+        "w1": init((3, 3, C_IN, 16), 27),
+        "g1": jnp.ones((C_IN + 16,)), "b1": jnp.zeros((C_IN + 16,)),
+        "w2": init((3, 3, C_IN + 16, 16), 171),
+        "g2": jnp.ones((C_IN + 32,)), "b2": jnp.zeros((C_IN + 32,)),
+        "wh": init((1, 1, C_IN + 32, 16), C_IN + 32),
+        "w3": init((16, N_CLASS), 16), "b3": jnp.zeros((N_CLASS,)),
+    }
+
+    def conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def forward(p, x):
+        c1 = jnp.concatenate([x, conv(x, p["w1"])], -1)
+        z = jnp.maximum(c1 * p["g1"] + p["b1"], 0)
+        c2 = jnp.concatenate([c1, conv(z, p["w2"])], -1)
+        z = jnp.maximum(c2 * p["g2"] + p["b2"], 0)
+        h = jnp.maximum(jax.lax.conv_general_dilated(
+            z, p["wh"], (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")), 0)
+        return h.mean(axis=(1, 2)) @ p["w3"] + p["b3"]
+
+    def loss(p, x, y):
+        logits = forward(p, x)
+        return -jnp.mean(jax.nn.log_softmax(logits)[
+            jnp.arange(x.shape[0]), y])
+
+    xtr, ytr = _dataset(2048, seed=6)
+    xtr_j, ytr_j = jnp.asarray(xtr), jnp.asarray(ytr)
+    grad = jax.jit(jax.grad(loss))
+    for s in range(steps):
+        i = (s * 128) % 2048
+        g = grad(params, xtr_j[i:i + 128], ytr_j[i:i + 128])
+        params = jax.tree_util.tree_map(lambda p, gv: p - 0.05 * gv,
+                                        params, g)
+    return {k: np.asarray(v) for k, v in params.items()}
+
+
+def test_int8_dense_block_top1_gate():
+    """Concat/Scale int8 edges (the DenseNet path) hold the 0.5% top-1
+    gate on a trained model."""
+    p = _train_dense()
+    xval, yval = _dataset(1024, seed=7)
+    b = GraphBuilder("gatedense", seed=0)
+    x = b.input("data", (1024, HW, HW, C_IN))
+    y = b.conv("l1", x, 16, 3, pad=1, bias=False)
+    c1 = b.concat("cat1", [x, y])
+    z = b.scale("s1", c1, bias=True)
+    z = b.relu("r1", z)
+    y = b.conv("l2", z, 16, 3, pad=1, bias=False)
+    c2 = b.concat("cat2", [c1, y])
+    z = b.scale("s2", c2, bias=True)
+    z = b.relu("r2", z)
+    z = b.conv("head", z, 16, 1, bias=False, relu=True)
+    z = b.pool("gap", z, 0, mode="AVE", global_pooling=True)
+    z = b.fc("fc", z, N_CLASS)
+    g = b.finish([z])
+    g.params.update({"l1/w": p["w1"], "s1/gamma": p["g1"],
+                     "s1/beta": p["b1"], "l2/w": p["w2"],
+                     "s2/gamma": p["g2"], "s2/beta": p["b2"],
+                     "head/w": p["wh"],
+                     "fc/w": p["w3"], "fc/b": p["b3"]})
+
+    fp = Engine(g)
+    top1_fp = float((np.asarray(fp(xval)).argmax(-1) == yval).mean())
+    assert top1_fp > 0.9, f"training failed ({top1_fp:.3f})"
+
+    xcal, _ = _dataset(256, seed=8)
+    calibrate(g, [xcal], method="max")
+    q = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                               interpret=True,
+                               algo_overrides=(("*", "xla"),)))
+    qm = q.graph.meta["quant"]
+    assert qm.get("s1", {}).get("scale_int8")
+    assert any(qm.get(c, {}).get("concat_int8")
+               or qm.get(c, {}).get("passthrough_int8")
+               for c in ("cat1", "cat2"))
+    top1_q = float((np.asarray(q(xval)).argmax(-1) == yval).mean())
+    drop = top1_fp - top1_q
+    assert drop <= 0.005 + 1e-9, f"top-1 drop {drop*100:.2f}% > 0.5%"

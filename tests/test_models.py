@@ -13,11 +13,14 @@ EXPECTED_OUT = {
     "vgg16": (1, 1000),
     "resnet50": (1, 1000),
     "googlenet": (1, 1000),
+    "densenet121": (1, 1000),
+    "resnext50": (1, 1000),
 }
 
 # vgg16 is slow on the CPU test backend; covered by test_vgg_like_small and
 # the TPU bench instead.
-FAST_MODELS = ["squeezenet_v11", "mobilenet_v1", "resnet50", "googlenet"]
+FAST_MODELS = ["squeezenet_v11", "mobilenet_v1", "resnet50", "googlenet",
+               "densenet121", "resnext50"]
 
 
 @pytest.mark.parametrize("name", FAST_MODELS)

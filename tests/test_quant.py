@@ -147,6 +147,10 @@ def test_int8_edge_concat_mixed_branch_demoted(rng):
     qm = eng.graph.meta["quant"]
     assert not qm.get("cat", {}).get("passthrough_int8")
     assert not qm.get("left", {}).get("emit_int8")
+    # the requantizing-concat fallback still rides int8 (left arrives
+    # float and is quantized in the fused concat; right arrives int8)
+    assert qm.get("cat", {}).get("concat_int8")
+    assert qm.get("right", {}).get("emit_int8")
     out_q = np.asarray(eng(xv))
     assert _cosine(ref, out_q) > 0.997
 
@@ -178,3 +182,71 @@ def test_int8_edge_stops_before_depthwise(rng):
         assert not qm["pw2"].get("emit_int8")
         out = np.asarray(eng(xv))
         assert _cosine(ref, out) > 0.997, f"algo={algo}"
+
+
+def test_int8_edges_through_dense_block(rng):
+    """DenseNet-style concat chain: every dense-layer conv output and the
+    running concat should carry int8 edges when all consumers quantize."""
+    b = GraphBuilder("dense", seed=29)
+    x = b.input("data", (2, 8, 8, 16))
+    y = b.conv("l1", x, 16, 3, pad=1, relu=True)
+    c1 = b.concat("cat1", [x, y])
+    y = b.conv("l2", c1, 16, 3, pad=1, relu=True)
+    c2 = b.concat("cat2", [c1, y])
+    y = b.conv("head", c2, 8, 1, relu=True)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 10)
+    g = b.finish([y])
+
+    xv = rng.normal(size=(2, 8, 8, 16)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    calibrate(g, [xv], method="max")
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 interpret=True,
+                                 algo_overrides=(("*", "xla"),)))
+    qm = eng.graph.meta["quant"]
+    # the passthrough's single-scale requirement fails across the chain
+    # (cat1 feeds l2 at one scale and cat2 at another); the requantizing
+    # fallback keeps every concat edge int8
+    for cat in ("cat1", "cat2"):
+        info = qm.get(cat, {})
+        assert info.get("passthrough_int8") or info.get("concat_int8"), cat
+    assert qm["l1"].get("emit_int8") and qm["l2"].get("emit_int8")
+    out = np.asarray(eng(xv))
+    assert _cosine(ref, out) > 0.997
+
+
+def test_int8_edges_preactivation_dense_block(rng):
+    """Real DenseNet-121 ordering: Conv -> Concat -> BN -> ReLU -> Conv.
+    The standalone BN canonicalizes to a Scale; scale_int8 + concat_int8
+    keep the whole chain on int8 edges."""
+    b = GraphBuilder("predense", seed=31)
+    x = b.input("data", (2, 8, 8, 16))
+    y = b.conv("l1", x, 16, 3, pad=1, bias=False)
+    c1 = b.concat("cat1", [x, y])
+    z = b.batchnorm("bn1", c1)
+    z = b.relu("relu1", z)
+    y = b.conv("l2", z, 16, 3, pad=1, bias=False)
+    c2 = b.concat("cat2", [c1, y])
+    z = b.batchnorm("bn2", c2)
+    z = b.relu("relu2", z)
+    y = b.conv("head", z, 8, 1)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 10)
+    g = b.finish([y])
+
+    xv = rng.normal(size=(2, 8, 8, 16)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    calibrate(g, [xv], method="max")
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 interpret=True,
+                                 algo_overrides=(("*", "xla"),)))
+    qm = eng.graph.meta["quant"]
+    # unfused BNs canonicalized to Scale nodes named bn1/bn2
+    assert qm.get("bn1", {}).get("scale_int8")
+    assert qm.get("bn2", {}).get("scale_int8")
+    for cat in ("cat1", "cat2"):
+        info = qm.get(cat, {})
+        assert info.get("passthrough_int8") or info.get("concat_int8"), cat
+    out = np.asarray(eng(xv))
+    assert _cosine(ref, out) > 0.995
