@@ -46,6 +46,14 @@ class EngineConfig:
     # one HBM read of the shared input instead of one per sibling.
     merge_siblings: bool = True
 
+    # w8a8: let grouped (cardinality/depthwise) convs take int8 edges.
+    # Exact (int32 accumulation); XLA's grouped int8 conv is slower than
+    # bf16 at equal shapes but the halved edge traffic wins whole-model
+    # (paired A/B: ResNeXt-50 +9.5%, MobileNet +5.9%; no-op for group==1
+    # models).  Disable per model if a calibration set shows accuracy
+    # pressure on depthwise layers.
+    int8_grouped: bool = True
+
     # Persistent compiled-executable cache directory (cuts serving restart
     # latency — SURVEY.md §5 checkpoint/resume).  None disables.
     compilation_cache_dir: Optional[str] = None

@@ -50,7 +50,8 @@ class Engine:
                      merge_siblings=self.config.merge_siblings)
         if self.config.quant:
             from .quant.rewrite import quantize_graph
-            quantize_graph(self.graph, self.config.quant)
+            quantize_graph(self.graph, self.config.quant,
+                           int8_grouped=self.config.int8_grouped)
         if self.config.fuse_blocks or self.config.fuse_chains:
             from .passes_fusion import fuse_bottlenecks, fuse_chains
             infer_shapes(self.graph)  # fresh specs for the VMEM gate

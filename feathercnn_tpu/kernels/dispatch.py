@@ -176,12 +176,14 @@ def conv_forward(node, x, w, bias, ctx):
     # full-int8 quant info the conv itself runs int8 x int8 -> int32 on the
     # MXU and the dequant happens in the (XLA-fused) epilogue.
     if (q is not None and w.dtype == jnp.int8
-            and q.get("x_scale") is not None and group == 1):
+            and q.get("x_scale") is not None
+            and (group == 1 or (ctx.config.int8_grouped and dil == 1))):
         xq = _quantize_act(x, q["x_scale"])
         acc = jax.lax.conv_general_dilated(
             xq, w, (sh, sw), ((ph, ph), (pw, pw)),
             rhs_dilation=(dil, dil),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=group,
             preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * (q["w_scale"] * q["x_scale"])
     else:

@@ -19,7 +19,11 @@ __all__ = ["quantize_graph"]
 _QUANT_OPS = ("Convolution", "InnerProduct")
 
 
-def quantize_graph(graph, mode: str) -> None:
+def quantize_graph(graph, mode: str, int8_grouped: bool = False) -> None:
+    """``int8_grouped``: let grouped (cardinality) convs take int8 edges —
+    measured exact on XLA (int32 accumulation) but the conv itself runs
+    ~25% slower than bf16 at ResNeXt shapes; the win, when any, is the
+    halved edge traffic (EngineConfig.int8_grouped, A/B per model)."""
     if mode not in ("w8", "w8a8"):
         raise ValueError(f"unknown quant mode {mode!r}")
     act_scales = graph.meta.get("act_scales", {})
@@ -90,9 +94,9 @@ def quantize_graph(graph, mode: str) -> None:
         """Scale at which consumer c takes int8 on `value`, else None."""
         info = qmeta.get(c.name)
         if c.op in ("Convolution", "InnerProduct"):
-            # grouped/depthwise convs never run the int8 MXU path
-            # (kernels/dispatch.py) — they must receive float input
-            if c.attrs.get("group", 1) != 1:
+            # grouped/depthwise convs run the int8 path only when opted
+            # in (kernels/dispatch.py) — otherwise they take float input
+            if c.attrs.get("group", 1) != 1 and not int8_grouped:
                 return None
             if info and info.get("x_scale") is not None \
                     and c.inputs[0] == value:

@@ -225,3 +225,90 @@ def test_int8_dense_block_top1_gate():
     top1_q = float((np.asarray(q(xval)).argmax(-1) == yval).mean())
     drop = top1_fp - top1_q
     assert drop <= 0.005 + 1e-9, f"top-1 drop {drop*100:.2f}% > 0.5%"
+
+
+def _train_dwsep(steps=300, seed=9):
+    """MobileNet-style depthwise-separable block — gates the int8_grouped
+    default (depthwise int8 edges) on trained distributions."""
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_platforms", "cpu")
+    rng = np.random.default_rng(seed)
+
+    def init(shape, fan_in):
+        return jnp.asarray(rng.normal(0, np.sqrt(2.0 / fan_in),
+                                      size=shape).astype(np.float32))
+
+    params = {
+        "w1": init((3, 3, C_IN, 16), 27), "b1": jnp.zeros((16,)),
+        "wd": init((3, 3, 1, 16), 9), "bd": jnp.zeros((16,)),
+        "wp": init((1, 1, 16, 32), 16), "bp": jnp.zeros((32,)),
+        "w3": init((32, N_CLASS), 32), "b3": jnp.zeros((N_CLASS,)),
+    }
+
+    def forward(p, x):
+        y = jax.lax.conv_general_dilated(
+            x, p["w1"], (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b1"]
+        y = jnp.maximum(y, 0)
+        y = jax.lax.conv_general_dilated(
+            y, p["wd"], (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=16) + p["bd"]
+        y = jnp.maximum(y, 0)
+        y = jax.lax.conv_general_dilated(
+            y, p["wp"], (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["bp"]
+        y = jnp.maximum(y, 0)
+        return y.mean(axis=(1, 2)) @ p["w3"] + p["b3"]
+
+    def loss(p, x, y):
+        logits = forward(p, x)
+        return -jnp.mean(jax.nn.log_softmax(logits)[
+            jnp.arange(x.shape[0]), y])
+
+    xtr, ytr = _dataset(2048, seed=10)
+    xtr_j, ytr_j = jnp.asarray(xtr), jnp.asarray(ytr)
+    grad = jax.jit(jax.grad(loss))
+    for s in range(steps):
+        i = (s * 128) % 2048
+        g = grad(params, xtr_j[i:i + 128], ytr_j[i:i + 128])
+        params = jax.tree_util.tree_map(lambda p, gv: p - 0.05 * gv,
+                                        params, g)
+    return {k: np.asarray(v) for k, v in params.items()}
+
+
+def test_int8_depthwise_top1_gate():
+    """int8_grouped (default on): depthwise int8 edges hold the 0.5%
+    top-1 gate on a trained dw-separable model, on both the XLA and
+    VPU-kernel depthwise paths."""
+    p = _train_dwsep()
+    xval, yval = _dataset(1024, seed=11)
+    b = GraphBuilder("gatedw", seed=0)
+    x = b.input("data", (1024, HW, HW, C_IN))
+    x = b.conv("c1", x, 16, 3, pad=1, relu=True)
+    x = b.dwconv("dw", x, 3, pad=1, relu=True)
+    x = b.conv("pw", x, 32, 1, relu=True)
+    x = b.pool("gap", x, 0, mode="AVE", global_pooling=True)
+    x = b.fc("fc", x, N_CLASS)
+    g = b.finish([x])
+    g.params.update({"c1/w": p["w1"], "c1/b": p["b1"],
+                     "dw/w": p["wd"], "dw/b": p["bd"],
+                     "pw/w": p["wp"], "pw/b": p["bp"],
+                     "fc/w": p["w3"], "fc/b": p["b3"]})
+
+    fp = Engine(g)
+    top1_fp = float((np.asarray(fp(xval)).argmax(-1) == yval).mean())
+    assert top1_fp > 0.9, f"training failed ({top1_fp:.3f})"
+
+    xcal, _ = _dataset(256, seed=12)
+    calibrate(g, [xcal], method="max")
+    for algo in (None, "xla"):
+        q = Engine(g, EngineConfig(
+            backend="pallas", quant="w8a8", interpret=True,
+            algo_overrides=((("*", algo),) if algo else ())))
+        assert q.graph.meta["quant"]["c1"].get("emit_int8")
+        top1_q = float((np.asarray(q(xval)).argmax(-1) == yval).mean())
+        drop = top1_fp - top1_q
+        assert drop <= 0.005 + 1e-9, \
+            f"algo={algo}: top-1 drop {drop*100:.2f}% > 0.5%"

@@ -156,9 +156,11 @@ def test_int8_edge_concat_mixed_branch_demoted(rng):
 
 
 def test_int8_edge_stops_before_depthwise(rng):
-    """Depthwise convs never take the int8 path, so a pointwise conv
-    feeding one must NOT emit int8 (regression: the XLA fallback used to
-    cast dequantized weights to x.dtype=int8, zeroing them)."""
+    """With int8_grouped off, depthwise convs never take the int8 path,
+    so a pointwise conv feeding one must NOT emit int8 (regression: the
+    XLA fallback used to cast dequantized weights to x.dtype=int8,
+    zeroing them).  With it on (the measured default), the edges go int8
+    and numerics hold on both the VPU-kernel and XLA paths."""
     b = GraphBuilder("mbn", seed=23)
     x = b.input("data", (2, 16, 16, 8))
     y = b.conv("pw1", x, 16, 1, relu=True)
@@ -175,6 +177,7 @@ def test_int8_edge_stops_before_depthwise(rng):
     calibrate(g, [xv], method="max")
     for algo in (None, "xla"):
         cfg = EngineConfig(backend="pallas", quant="w8a8", interpret=True,
+                           int8_grouped=False,
                            algo_overrides=((("*", algo),) if algo else ()))
         eng = Engine(g, cfg)
         qm = eng.graph.meta["quant"]
@@ -182,6 +185,14 @@ def test_int8_edge_stops_before_depthwise(rng):
         assert not qm["pw2"].get("emit_int8")
         out = np.asarray(eng(xv))
         assert _cosine(ref, out) > 0.997, f"algo={algo}"
+    for algo in (None, "xla"):
+        cfg = EngineConfig(backend="pallas", quant="w8a8", interpret=True,
+                           algo_overrides=((("*", algo),) if algo else ()))
+        eng = Engine(g, cfg)
+        qm = eng.graph.meta["quant"]
+        assert qm["pw1"].get("emit_int8")
+        out = np.asarray(eng(xv))
+        assert _cosine(ref, out) > 0.997, f"int8_grouped algo={algo}"
 
 
 def test_int8_edges_through_dense_block(rng):
@@ -250,3 +261,29 @@ def test_int8_edges_preactivation_dense_block(rng):
         assert info.get("passthrough_int8") or info.get("concat_int8"), cat
     out = np.asarray(eng(xv))
     assert _cosine(ref, out) > 0.995
+
+
+def test_int8_grouped_conv_opt_in(rng):
+    """EngineConfig.int8_grouped: a cardinality (grouped) conv takes int8
+    edges; numerics stay close to the fp oracle."""
+    b = GraphBuilder("gconv", seed=37)
+    x = b.input("data", (2, 8, 8, 32))
+    y = b.conv("pre", x, 32, 1, relu=True)
+    y = b.conv("grp", y, 32, 3, pad=1, group=4, relu=True)
+    y = b.conv("post", y, 16, 1, relu=True)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 10)
+    g = b.finish([y])
+    xv = rng.normal(size=(2, 8, 8, 32)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    calibrate(g, [xv], method="max")
+    base = EngineConfig(backend="pallas", quant="w8a8", interpret=True,
+                        algo_overrides=(("*", "xla"),))
+    eng_off = Engine(g, base.replace(int8_grouped=False))
+    assert not eng_off.graph.meta["quant"]["pre"].get("emit_int8")
+    eng_on = Engine(g, base)  # int8_grouped defaults on
+    qm = eng_on.graph.meta["quant"]
+    assert qm["pre"].get("emit_int8") and qm["grp"].get("emit_int8")
+    for eng in (eng_off, eng_on):
+        out = np.asarray(eng(xv))
+        assert _cosine(ref, out) > 0.997
