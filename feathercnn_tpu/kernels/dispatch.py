@@ -136,6 +136,41 @@ def conv_forward(node, x, w, bias, ctx):
                             interpret=interpret, **kwargs)
         return y.reshape(N, OH, OW, -1)
 
+    if algo == "dot1x1" and kh == 1 and kw == 1 and group == 1:
+        # 1x1 conv expressed as an explicit matmul — probes whether XLA's
+        # dot emitter beats its conv emitter for pointwise layers
+        # (measurement algo; select via algo_overrides)
+        xs = x
+        if ph or pw:
+            xs = jnp.pad(xs, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+        if sh > 1 or sw > 1:
+            xs = xs[:, ::sh, ::sw, :]
+        N, OH, OW, C = xs.shape
+        x2 = xs.reshape(N * OH * OW, C)
+        if q is not None and w.dtype == jnp.int8 \
+                and q.get("x_scale") is not None:
+            x2 = _quantize_act(x2, q["x_scale"])
+            acc = jnp.dot(x2, w.reshape(C, -1),
+                          preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * (q["w_scale"] * q["x_scale"])
+        else:
+            x2 = _dequant_int8_edge(x2, q, ctx)
+            wd = _dequant_weight(w, q, x2.dtype).reshape(C, -1)
+            y = jnp.dot(x2, wd, preferred_element_type=jnp.float32)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        if segs is not None:
+            from ..ops.lowering import apply_act_segments
+            y = apply_act_segments(y, segs)
+        elif act == "relu":
+            y = jnp.maximum(y, 0)
+        elif act == "relu6":
+            y = jnp.clip(y, 0, 6)
+        out_dtype, out_scale = _out_spec(x, q)
+        if out_dtype == jnp.int8:
+            y = jnp.clip(jnp.round(y * out_scale), -127, 127)
+        return y.astype(out_dtype).reshape(N, OH, OW, -1)
+
     if algo == "winograd":
         if kh == 3 and kw == 3 and sh == sw == 1 and dil == 1 and group == 1:
             from .winograd import winograd_conv2d
