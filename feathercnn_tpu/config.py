@@ -46,6 +46,11 @@ class EngineConfig:
     # one HBM read of the shared input instead of one per sibling.
     merge_siblings: bool = True
 
+    # w8a8: enable the requantizing int8 edge types — mixed-scale Concat
+    # (concat_int8) and Scale/LRN dequant->op->requant (requant_int8).
+    # Off = only single-scale passthrough edges (accuracy debugging).
+    int8_requant_ops: bool = True
+
     # w8a8: let grouped (cardinality/depthwise) convs take int8 edges.
     # Exact (int32 accumulation); XLA's grouped int8 conv is slower than
     # bf16 at equal shapes but the halved edge traffic wins whole-model

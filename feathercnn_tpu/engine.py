@@ -45,13 +45,27 @@ class Engine:
         if baked and not self.config.algo_overrides:
             self.config = self.config.replace(
                 algo_overrides=tuple(baked.items()))
+        # Per-model measured config defaults (e.g. GoogLeNet serves faster
+        # with int8_requant_ops off — BASELINE.md).  A baked field applies
+        # only when the caller left it at the EngineConfig default, so
+        # explicit user choices always win.
+        baked_cfg = self.graph.meta.get("config_overrides")
+        if baked_cfg:
+            import dataclasses as _dc
+            defaults = {f.name: f.default for f in _dc.fields(EngineConfig)}
+            apply = {k: v for k, v in baked_cfg.items()
+                     if k in defaults
+                     and getattr(self.config, k) == defaults[k]}
+            if apply:
+                self.config = self.config.replace(**apply)
         if optimize_graph:
             optimize(self.graph,
                      merge_siblings=self.config.merge_siblings)
         if self.config.quant:
             from .quant.rewrite import quantize_graph
             quantize_graph(self.graph, self.config.quant,
-                           int8_grouped=self.config.int8_grouped)
+                           int8_grouped=self.config.int8_grouped,
+                           requant_ops=self.config.int8_requant_ops)
         if self.config.fuse_blocks or self.config.fuse_chains:
             from .passes_fusion import fuse_bottlenecks, fuse_chains
             infer_shapes(self.graph)  # fresh specs for the VMEM gate

@@ -14,7 +14,7 @@ from .builder import GraphBuilder
 
 __all__ = ["squeezenet_v11", "mobilenet_v1", "vgg16", "resnet50",
            "resnet101", "resnet152", "googlenet", "densenet121",
-           "resnext50", "build_model", "MODEL_BUILDERS"]
+           "resnext50", "alexnet", "build_model", "MODEL_BUILDERS"]
 
 
 def squeezenet_v11(batch: int = 1, seed: int = 0,
@@ -46,7 +46,11 @@ def squeezenet_v11(batch: int = 1, seed: int = 0,
     x = b.pool("pool10", x, 0, mode="AVE", global_pooling=True)
     if with_softmax:
         x = b.softmax("prob", x)
-    return b.finish([x])
+    g = b.finish([x])
+    # Measured on v5e (BASELINE.md): the requantizing concat edges cost
+    # this VPU-bound model ~2.5% — single-scale passthrough only.
+    g.meta["config_overrides"] = {"int8_requant_ops": False}
+    return g
 
 
 def mobilenet_v1(batch: int = 1, seed: int = 0, width_mult: float = 1.0,
@@ -221,7 +225,11 @@ def googlenet(batch: int = 1, seed: int = 0, with_softmax: bool = True) -> Graph
     x = b.fc("loss3/classifier", x, 1000)
     if with_softmax:
         x = b.softmax("prob", x)
-    return b.finish([x])
+    g = b.finish([x])
+    # Measured on v5e (BASELINE.md): requantizing LRN/concat edges cost
+    # this VPU-bound model 3.9% paired — keep passthrough-only edges.
+    g.meta["config_overrides"] = {"int8_requant_ops": False}
+    return g
 
 
 def densenet121(batch: int = 1, seed: int = 0,
@@ -262,6 +270,33 @@ def densenet121(batch: int = 1, seed: int = 0,
     x = bn_relu("conv5_blk", x)
     x = b.pool("pool5", x, 0, mode="AVE", global_pooling=True)
     x = b.fc("fc6", x, 1000)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    return b.finish([x])
+
+
+def alexnet(batch: int = 1, seed: int = 0,
+            with_softmax: bool = True) -> Graph:
+    """AlexNet (227x227), BVLC Caffe deploy structure: the Caffe-era
+    classic FeatherCNN-style converters were built around — exercises LRN
+    (int8 requant edges) and 2-group convs together."""
+    b = GraphBuilder("alexnet", seed)
+    x = b.input("data", (batch, 227, 227, 3))
+    x = b.conv("conv1", x, 96, 11, stride=4, relu=True)
+    x = b.lrn("norm1", x)
+    x = b.pool("pool1", x, 3, 2)
+    x = b.conv("conv2", x, 256, 5, pad=2, group=2, relu=True)
+    x = b.lrn("norm2", x)
+    x = b.pool("pool2", x, 3, 2)
+    x = b.conv("conv3", x, 384, 3, pad=1, relu=True)
+    x = b.conv("conv4", x, 384, 3, pad=1, group=2, relu=True)
+    x = b.conv("conv5", x, 256, 3, pad=1, group=2, relu=True)
+    x = b.pool("pool5", x, 3, 2)
+    x = b.fc("fc6", x, 4096, relu=True)
+    x = b.dropout("drop6", x)
+    x = b.fc("fc7", x, 4096, relu=True)
+    x = b.dropout("drop7", x)
+    x = b.fc("fc8", x, 1000)
     if with_softmax:
         x = b.softmax("prob", x)
     return b.finish([x])
@@ -321,6 +356,7 @@ MODEL_BUILDERS = {
     "googlenet": googlenet,
     "densenet121": densenet121,
     "resnext50": resnext50,
+    "alexnet": alexnet,
 }
 
 

@@ -368,8 +368,8 @@ def _lower_scale(node, inputs, params, ctx):
     """Standalone per-channel affine (un-folded Scale/BatchNorm)."""
     x = inputs[0]
     q = ctx.qinfo(node)
-    if q is not None and q.get("scale_int8"):
-        # int8-edge affine (quant/rewrite.py scale_int8): dequant ->
+    if q is not None and q.get("requant_int8"):
+        # int8-edge affine (quant/rewrite.py requant_int8): dequant ->
         # affine -> act -> requant, all in f32 registers, XLA-fused —
         # keeps DenseNet-style Concat->BN->ReLU->Conv chains on int8.
         xf = (x.astype(jnp.float32) * q["x_scale"] if x.dtype == jnp.int8
@@ -488,7 +488,17 @@ def _lower_softmax(node, inputs, params, ctx):
 @register_lowering("LRN")
 def _lower_lrn(node, inputs, params, ctx):
     """Local response normalization across channels (GoogLeNet/AlexNet).
-    y = x / (k + alpha/n * sum_{local} x^2)^beta — channel axis is last."""
+    y = x / (k + alpha/n * sum_{local} x^2)^beta — channel axis is last.
+
+    int8-edge mode (quant/rewrite.py requant_int8): dequant -> LRN ->
+    requant, so the big stem-sized edges around the norm stay 1 byte/elem
+    instead of 2-4."""
+    q = ctx.qinfo(node)
+    if q is not None and q.get("requant_int8"):
+        xf = (inputs[0].astype(jnp.float32) * q["x_scale"]
+              if inputs[0].dtype == jnp.int8
+              else inputs[0].astype(jnp.float32))
+        inputs = [xf]
     x = inputs[0].astype(jnp.float32)
     n = node.attrs.get("local_size", 5)
     alpha = node.attrs.get("alpha", 1e-4)
@@ -504,6 +514,9 @@ def _lower_lrn(node, inputs, params, ctx):
         padding=((0, 0),) * (x.ndim - 1) + ((half, n - 1 - half),),
     )
     y = x * jax.lax.pow(k + (alpha / n) * ssum, -beta)
+    if q is not None and q.get("requant_int8"):
+        return [jnp.clip(jnp.round(y / q["y_scale"]), -127, 127)
+                .astype(jnp.int8)]
     return [y.astype(inputs[0].dtype)]
 
 

@@ -48,9 +48,9 @@ def calibrate(graph, batches: Iterable, method: str = "percentile",
     # Also calibrate Eltwise/Concat operand values and Scale inputs so
     # residual adds, requantizing concats, and int8 affines can run on
     # int8 edges (quant/rewrite.py eltwise_int8 / concat_int8 /
-    # scale_int8).
+    # requant_int8).
     extra_values = [i for n in eng.graph.nodes
-                    if n.op in ("Eltwise", "Concat", "Scale")
+                    if n.op in ("Eltwise", "Concat", "Scale", "LRN")
                     for i in n.inputs]
     all_values = set(targets.values()) | set(extra_values)
     # Graph inputs aren't extractable outputs; their scale comes from data.

@@ -19,11 +19,14 @@ __all__ = ["quantize_graph"]
 _QUANT_OPS = ("Convolution", "InnerProduct")
 
 
-def quantize_graph(graph, mode: str, int8_grouped: bool = False) -> None:
+def quantize_graph(graph, mode: str, int8_grouped: bool = False,
+                   requant_ops: bool = True) -> None:
     """``int8_grouped``: let grouped (cardinality) convs take int8 edges —
     measured exact on XLA (int32 accumulation) but the conv itself runs
     ~25% slower than bf16 at ResNeXt shapes; the win, when any, is the
-    halved edge traffic (EngineConfig.int8_grouped, A/B per model)."""
+    halved edge traffic (EngineConfig.int8_grouped, A/B per model).
+    ``requant_ops``: enable the requantizing edge types (concat_int8
+    fallback, Scale/LRN requant_int8)."""
     if mode not in ("w8", "w8a8"):
         raise ValueError(f"unknown quant mode {mode!r}")
     act_scales = graph.meta.get("act_scales", {})
@@ -68,10 +71,11 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False) -> None:
     #     mixed branches): each input arrives int8 at its own calibrated
     #     scale (or float) and is rescaled/quantized to the output scale
     #     in the (XLA-fused) concat lowering;
-    #   - an int8 Scale (scale_int8): per-channel affine + fused act runs
-    #     dequant -> affine -> act -> requant in registers — this is what
-    #     lets DenseNet's pre-activation Concat->BN->ReLU->Conv chains
-    #     stay int8 end-to-end.
+    #   - an int8 Scale or LRN (requant_int8): the elementwise/windowed
+    #     op runs dequant -> op -> fused act -> requant in registers —
+    #     this is what lets DenseNet's pre-activation Concat->BN->ReLU->
+    #     Conv chains and GoogLeNet/AlexNet's stem->LRN->conv chains stay
+    #     int8 end-to-end.
     # The producer then requantizes in its epilogue (emit_int8/y_scale,
     # kernels/matmul.py out_scale) — no standalone quantize op, half the
     # HBM traffic on the edge.  The reference has no analog (fp32-only);
@@ -113,7 +117,7 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False) -> None:
             # calibrated scale (rescaled in the lowering)
             s = value_scales.get(value)
             return float(s) if s is not None else None
-        if c.op == "Scale" and cinfo.get("scale_int8") \
+        if c.op in ("Scale", "LRN") and cinfo.get("requant_int8") \
                 and c.inputs[0] == value:
             return float(cinfo["x_scale"])
         if _transparent(c) and c.name not in denied:
@@ -136,6 +140,8 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False) -> None:
         return scales[0]
 
     def _try_concat_int8(n):
+        if not requant_ops:
+            return
         y_scale = _edge_scale_for(n.outputs[0])
         if y_scale is not None:
             qmeta[n.name] = {
@@ -154,7 +160,7 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False) -> None:
             if info is None:
                 continue
             if (info.get("eltwise_int8") or info.get("passthrough_int8")
-                    or info.get("concat_int8") or info.get("scale_int8")):
+                    or info.get("concat_int8") or info.get("requant_int8")):
                 del qmeta[n.name]       # entries this pass owns
             else:
                 info.pop("emit_int8", None)
@@ -186,11 +192,11 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False) -> None:
                 # passthrough proven impossible — fall back to the
                 # requantizing concat (each input at its own scale)
                 _try_concat_int8(n)
-            elif n.op == "Scale":
+            elif n.op in ("Scale", "LRN") and requant_ops:
                 xs = value_scales.get(n.inputs[0])
                 y_scale = _edge_scale_for(n.outputs[0])
                 if xs is not None and y_scale is not None:
-                    qmeta[n.name] = {"scale_int8": True,
+                    qmeta[n.name] = {"requant_int8": True,
                                      "x_scale": float(xs),
                                      "y_scale": float(y_scale)}
             info = qmeta.get(n.name)
@@ -206,7 +212,7 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False) -> None:
         if info and (info.get("emit_int8") or info.get("eltwise_int8")
                      or info.get("passthrough_int8")
                      or info.get("concat_int8")
-                     or info.get("scale_int8")):
+                     or info.get("requant_int8")):
             return info.get("y_scale")
         return None
 

@@ -132,7 +132,7 @@ def test_weight_only_top1_no_drop():
 def _train_dense(steps=300, seed=5):
     """DenseNet-style: conv -> concat -> affine+relu -> conv -> concat ->
     affine+relu -> GAP -> fc.  Exercises the requantizing-concat and
-    int8-Scale edges (quant/rewrite concat_int8 / scale_int8) on trained
+    int8-Scale edges (quant/rewrite concat_int8 / requant_int8) on trained
     distributions."""
     import jax
     import jax.numpy as jnp
@@ -218,7 +218,7 @@ def test_int8_dense_block_top1_gate():
                                interpret=True,
                                algo_overrides=(("*", "xla"),)))
     qm = q.graph.meta["quant"]
-    assert qm.get("s1", {}).get("scale_int8")
+    assert qm.get("s1", {}).get("requant_int8")
     assert any(qm.get(c, {}).get("concat_int8")
                or qm.get(c, {}).get("passthrough_int8")
                for c in ("cat1", "cat2"))

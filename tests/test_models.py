@@ -15,12 +15,13 @@ EXPECTED_OUT = {
     "googlenet": (1, 1000),
     "densenet121": (1, 1000),
     "resnext50": (1, 1000),
+    "alexnet": (1, 1000),
 }
 
 # vgg16 is slow on the CPU test backend; covered by test_vgg_like_small and
 # the TPU bench instead.
 FAST_MODELS = ["squeezenet_v11", "mobilenet_v1", "resnet50", "googlenet",
-               "densenet121", "resnext50"]
+               "densenet121", "resnext50", "alexnet"]
 
 
 @pytest.mark.parametrize("name", FAST_MODELS)

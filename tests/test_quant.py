@@ -229,7 +229,7 @@ def test_int8_edges_through_dense_block(rng):
 
 def test_int8_edges_preactivation_dense_block(rng):
     """Real DenseNet-121 ordering: Conv -> Concat -> BN -> ReLU -> Conv.
-    The standalone BN canonicalizes to a Scale; scale_int8 + concat_int8
+    The standalone BN canonicalizes to a Scale; requant_int8 + concat_int8
     keep the whole chain on int8 edges."""
     b = GraphBuilder("predense", seed=31)
     x = b.input("data", (2, 8, 8, 16))
@@ -254,8 +254,8 @@ def test_int8_edges_preactivation_dense_block(rng):
                                  algo_overrides=(("*", "xla"),)))
     qm = eng.graph.meta["quant"]
     # unfused BNs canonicalized to Scale nodes named bn1/bn2
-    assert qm.get("bn1", {}).get("scale_int8")
-    assert qm.get("bn2", {}).get("scale_int8")
+    assert qm.get("bn1", {}).get("requant_int8")
+    assert qm.get("bn2", {}).get("requant_int8")
     for cat in ("cat1", "cat2"):
         info = qm.get(cat, {})
         assert info.get("passthrough_int8") or info.get("concat_int8"), cat
@@ -287,3 +287,46 @@ def test_int8_grouped_conv_opt_in(rng):
     for eng in (eng_off, eng_on):
         out = np.asarray(eng(xv))
         assert _cosine(ref, out) > 0.997
+
+
+def test_int8_edges_through_lrn(rng):
+    """LRN (AlexNet/GoogLeNet norm) rides int8 edges via requant_int8:
+    the stem conv emits int8, LRN runs dequant->norm->requant."""
+    b = GraphBuilder("lrnnet", seed=41)
+    x = b.input("data", (2, 16, 16, 8))
+    y = b.conv("stem", x, 16, 3, pad=1, relu=True)
+    y = b.lrn("norm1", y)
+    y = b.conv("mid", y, 16, 3, pad=1, relu=True)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 10)
+    g = b.finish([y])
+    xv = rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    calibrate(g, [xv], method="max")
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 interpret=True,
+                                 algo_overrides=(("*", "xla"),)))
+    qm = eng.graph.meta["quant"]
+    assert qm["stem"].get("emit_int8")
+    assert qm.get("norm1", {}).get("requant_int8")
+    out = np.asarray(eng(xv))
+    assert _cosine(ref, out) > 0.997
+
+
+def test_baked_config_overrides(rng):
+    """graph.meta['config_overrides'] supplies measured per-model config
+    defaults; explicit user settings win."""
+    from feathercnn_tpu.models import googlenet
+    g = googlenet(batch=1, with_softmax=False)
+    assert g.meta["config_overrides"] == {"int8_requant_ops": False}
+    eng = Engine(g, EngineConfig())
+    assert eng.config.int8_requant_ops is False     # baked applies
+    # a field the bake doesn't name keeps the user/default value
+    assert eng.config.int8_grouped is True
+    # an explicit NON-default user value always wins over a bake
+    g2 = googlenet(batch=1, with_softmax=False)
+    g2.meta["config_overrides"] = {"int8_grouped": False,
+                                   "merge_siblings": False}
+    eng = Engine(g2, EngineConfig(merge_siblings=False))
+    assert eng.config.int8_grouped is False         # baked applies
+    assert eng.config.merge_siblings is False
