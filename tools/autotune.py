@@ -181,6 +181,100 @@ def tune_regions(graph, dtype: str, quant, iters: int = 15):
     return decisions
 
 
+_TUNABLE_FLAGS = ("merge_siblings", "int8_grouped", "int8_requant_ops")
+
+
+def tune_flags(graph, dtype: str, quant, rounds: int = 5, iters: int = 20,
+               threshold: float = 0.01):
+    """Whole-model paired A/B of the boolean EngineConfig flags.
+
+    Compiles the baseline config plus one engine per flipped flag, then
+    interleaves slope timings round-robin (the tunnel drifts tens of
+    percent across minutes — separate runs cannot rank configs,
+    BASELINE.md).  A flag value lands in ``meta['config_overrides']``
+    when flipping it beats the baseline by more than ``threshold``
+    (median of per-round paired ratios).
+
+    Caveat: each flip is measured against the all-defaults baseline, so
+    flag INTERACTIONS are not explored (measured example: GoogLeNet's
+    merge_siblings only hurts when int8_requant_ops is also on; with
+    requant edges off — its baked config — the merge is neutral).  When
+    several flags flip, apply the largest winner, re-run, repeat."""
+    import copy
+    import time
+
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from feathercnn_tpu import Engine, EngineConfig
+    from feathercnn_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    defaults = {f.name: f.default for f in dc.fields(EngineConfig)}
+    base_cfg = EngineConfig(compute_dtype=dtype, backend="pallas",
+                            quant=quant, algo_overrides=(("*", "xla"),))
+    variants = [("base", base_cfg)]
+    for flag in _TUNABLE_FLAGS:
+        variants.append((flag, base_cfg.replace(
+            **{flag: not defaults[flag]})))
+
+    loops = {}
+    for name, cfg in variants:
+        g = copy.deepcopy(graph)
+        g.meta.pop("config_overrides", None)   # measure from scratch
+        eng = Engine(g, cfg)
+        fwd = eng._build_forward()
+        params = eng._prepare_params()
+        (in_name,) = eng.graph.inputs
+        first_out = eng.graph.outputs[0]
+        spec = next(iter(eng.graph.inputs.values()))
+        x = np.random.default_rng(0).normal(size=spec.shape).astype(
+            np.float32)
+
+        @jax.jit
+        def loop(params, x, n, fwd=fwd, in_name=in_name,
+                 first_out=first_out):
+            def body(i, carry):
+                xi = x + jnp.asarray(i, x.dtype) * jnp.asarray(1e-6,
+                                                               x.dtype)
+                out = fwd(params, {in_name: xi})
+                return carry + out[first_out].ravel()[0].astype(
+                    jnp.float32)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        xd = jax.device_put(jnp.asarray(x))
+        float(loop(params, xd, jnp.int32(3)))
+        loops[name] = (loop, params, xd)
+        print(f"compiled {name}", file=sys.stderr, flush=True)
+
+    warm = 5
+    times = {name: [] for name, _ in variants}
+    for r in range(rounds):
+        for name, _ in variants:
+            loop, params, xd = loops[name]
+            t0 = time.time()
+            float(loop(params, xd, jnp.int32(warm)))
+            t_short = time.time() - t0
+            t0 = time.time()
+            float(loop(params, xd, jnp.int32(warm + iters)))
+            t_long = time.time() - t0
+            times[name].append(max(t_long - t_short, 1e-9) / iters)
+
+    overrides = {}
+    base_t = np.asarray(times["base"])
+    for flag in _TUNABLE_FLAGS:
+        ratios = base_t / np.asarray(times[flag])  # >1: flipped wins
+        gain = float(np.median(ratios)) - 1.0
+        flipped = not defaults[flag]
+        print(f"{flag}={flipped}: {gain*+100:+.1f}% vs default",
+              file=sys.stderr, flush=True)
+        if gain > threshold:
+            overrides[flag] = flipped
+    return overrides
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="resnet50")
@@ -193,6 +287,11 @@ def main():
     ap.add_argument("--regions", action="store_true",
                     help="also tune region fusion (chain vs per-layer "
                          "XLA per bottleneck signature)")
+    ap.add_argument("--flags", action="store_true",
+                    help="paired A/B of the boolean EngineConfig flags "
+                         "(merge_siblings / int8_grouped / "
+                         "int8_requant_ops); winners land in "
+                         "meta['config_overrides']")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -205,6 +304,28 @@ def main():
         from feathercnn_tpu.models import MODEL_BUILDERS
         graph = MODEL_BUILDERS[args.model](batch=args.batch,
                                            with_softmax=False)
+    if args.flags:
+        if args.quant == "w8a8" and "act_scales" not in graph.meta:
+            import numpy as np
+            from feathercnn_tpu.models import MODEL_BUILDERS
+            from feathercnn_tpu.quant import calibrate
+            g_cal = MODEL_BUILDERS[args.model](batch=8, with_softmax=False)
+            spec0 = next(iter(g_cal.inputs.values()))
+            cal = [np.random.default_rng(1).normal(
+                size=spec0.shape).astype(np.float32)]
+            calibrate(g_cal, cal, method="max",
+                      config=EngineConfig(compute_dtype=args.dtype))
+            graph.meta.update({k: g_cal.meta[k]
+                               for k in ("act_scales", "value_scales")})
+        flag_overrides = tune_flags(graph, args.dtype, args.quant,
+                                    iters=args.iters)
+        print(f"\nflag decisions: {json.dumps(flag_overrides)}")
+        graph.meta["config_overrides"] = flag_overrides
+        if args.ftpu:
+            from feathercnn_tpu.model_format import save_ftpu
+            save_ftpu(graph, args.ftpu)
+            print(f"baked config_overrides into {args.ftpu} meta")
+        return
     if args.regions:
         regions = tune_regions(graph, args.dtype, args.quant, args.iters)
         print(f"\nregion decisions: {json.dumps(regions)}")
