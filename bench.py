@@ -70,6 +70,15 @@ def graph_flops(graph) -> float:
     return total  # per image (batch handled by caller)
 
 
+# Best batch per model, measured paired on v5e (BASELINE.md table).
+BEST_BATCH = {
+    "squeezenet_v11": 128, "mobilenet_v1": 256, "vgg16": 128,
+    "resnet50": 128, "resnet101": 128, "resnet152": 96,
+    "googlenet": 256, "densenet121": 128, "resnext50": 128,
+    "alexnet": 256,
+}
+
+
 def bench_model(name: str, batch: int, dtype: str, backend: str,
                 quant, iters: int = 30, warmup: int = 5, algo=None,
                 fuse_chains: bool = False, input_int8: bool = False):
@@ -223,7 +232,8 @@ def main():
         from feathercnn_tpu.models import MODEL_BUILDERS
         for name in MODEL_BUILDERS:
             try:
-                r = bench_model(name, args.batch, args.dtype, args.backend,
+                r = bench_model(name, BEST_BATCH.get(name, args.batch),
+                                args.dtype, args.backend,
                                 args.quant, iters=args.iters)
                 log(f"{name:16s} batch={r['batch']:3d} "
                     f"{r['ms_per_batch']:8.2f} ms  "
