@@ -126,11 +126,6 @@ def bench_model(name: str, batch: int, dtype: str, backend: str,
     spec = next(iter(g.inputs.values()))
     x = np.random.default_rng(0).normal(size=spec.shape).astype(np.float32)
 
-    fwd = eng._build_forward()
-    params = eng._prepare_params()
-    first_out = eng.graph.outputs[0]
-    (in_name,) = eng.graph.inputs
-
     # --input-int8: serving feeds pre-quantized tensors (the reference's
     # pipeline hands uint8-derived data to Forward); quantize once
     # OUTSIDE the timed loop.  The in-graph path accepts int8 directly
@@ -143,38 +138,17 @@ def bench_model(name: str, batch: int, dtype: str, backend: str,
         if xs:
             x = np.clip(np.round(x / xs), -127, 127).astype(np.int8)
 
-    @jax.jit
-    def loop(params, x, n):
-        def body(i, carry):
-            if x.dtype == jnp.int8:
-                # cheap LICM-defeating perturbation: bump one element
-                xi = x.at[(0,) * x.ndim].add(i.astype(jnp.int8))
-            else:
-                xi = x + jnp.asarray(i, x.dtype) * jnp.asarray(1e-6,
-                                                               x.dtype)
-            out = fwd(params, {in_name: xi})
-            return carry + out[first_out].ravel()[0].astype(jnp.float32)
-        # traced bound -> one executable for any iteration count
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    xd = jax.device_put(jnp.asarray(x))
+    from feathercnn_tpu.utils.timing import engine_loop, slope_time
+    loop, params, xd = engine_loop(eng, x=x)
     t0 = time.time()
     float(loop(params, xd, jnp.int32(warmup)))  # compile+warmup, fetch-synced
     compile_s = time.time() - t0
 
-    # Slope timing: each dispatch+fetch through the tunnel costs a
-    # ~30-50 ms constant; T(long)-T(short) cancels it.  The tunnel's
-    # throughput also drifts over minutes, so take the median of three
-    # slope pairs.
-    dts = []
-    for _ in range(3):
-        t0 = time.time()
-        float(loop(params, xd, jnp.int32(warmup)))
-        t_short = time.time() - t0
-        t0 = time.time()
-        float(loop(params, xd, jnp.int32(warmup + iters)))
-        t_long = time.time() - t0
-        dts.append(max(t_long - t_short, 1e-9) / iters)
+    # Slope timing (utils/timing.py): T(long)-T(short) cancels the
+    # tunnel's ~30-50 ms constant dispatch+fetch cost; the tunnel also
+    # drifts over minutes, so take the median of three slope pairs.
+    dts = [slope_time(loop, params, xd, warm=warmup, iters=iters)
+           for _ in range(3)]
     dt = float(np.median(dts))
 
     imgs_per_s = batch / dt
@@ -200,7 +174,9 @@ def main():
     # batch sized to saturate the chip, XLA int8 convs + int8 edges
     # (measured fastest; see BASELINE.md history).
     ap.add_argument("--model", default="resnet50")
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="explicit batch (default: the model's measured "
+                         "best, BEST_BATCH; 128 for unknown models)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--backend", default="pallas")
     ap.add_argument("--quant", default="w8a8",
@@ -232,8 +208,8 @@ def main():
         from feathercnn_tpu.models import MODEL_BUILDERS
         for name in MODEL_BUILDERS:
             try:
-                r = bench_model(name, BEST_BATCH.get(name, args.batch),
-                                args.dtype, args.backend,
+                b = args.batch or BEST_BATCH.get(name, 128)
+                r = bench_model(name, b, args.dtype, args.backend,
                                 args.quant, iters=args.iters)
                 log(f"{name:16s} batch={r['batch']:3d} "
                     f"{r['ms_per_batch']:8.2f} ms  "
@@ -243,7 +219,8 @@ def main():
             except Exception as e:
                 log(f"{name:16s} FAILED: {type(e).__name__}: {e}")
 
-    r = bench_model(args.model, args.batch, args.dtype, args.backend,
+    batch = args.batch or BEST_BATCH.get(args.model, 128)
+    r = bench_model(args.model, batch, args.dtype, args.backend,
                     args.quant, iters=args.iters, algo=args.algo,
                     fuse_chains=args.fuse_chains,
                     input_int8=args.input_int8)

@@ -75,6 +75,13 @@ def main():
         cfg = EngineConfig(compute_dtype=args.dtype,
                            backend="pallas", quant=args.quant,
                            algo_overrides=(("*", "xla"),))
+        if args.variants:
+            # A/B-ing a baked flag against its default would otherwise
+            # compare identical engines: a variant value equal to the
+            # dataclass default is indistinguishable from "unset" and the
+            # bake would override it (config.apply_baked_overrides) —
+            # measure both arms from the raw defaults instead.
+            g.meta.pop("config_overrides", None)
         if variant and variant.startswith("algo:"):
             cfg = cfg.replace(
                 algo_overrides=(("*", variant.split(":", 1)[1]),))
@@ -84,26 +91,9 @@ def main():
             cfg = cfg.replace(**{variant: True})
             if variant == "fuse_chains":
                 g.meta["chain_regions"] = {"*": True}
+        from feathercnn_tpu.utils.timing import engine_loop
         eng = Engine(g, cfg)
-        fwd = eng._build_forward()
-        params = eng._prepare_params()
-        (in_name,) = eng.graph.inputs
-        first_out = eng.graph.outputs[0]
-        x = np.random.default_rng(0).normal(
-            size=next(iter(g.inputs.values())).shape).astype(np.float32)
-
-        @jax.jit
-        def loop(params, x, n, fwd=fwd, in_name=in_name,
-                 first_out=first_out):
-            def body(i, carry):
-                xi = x + jnp.asarray(i, x.dtype) * jnp.asarray(
-                    1e-6, x.dtype)
-                out = fwd(params, {in_name: xi})
-                return carry + out[first_out].ravel()[0].astype(
-                    jnp.float32)
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-        xd = jax.device_put(jnp.asarray(x))
+        loop, params, xd = engine_loop(eng)
         float(loop(params, xd, jnp.int32(3)))   # compile
         key = (b, variant)
         loops[key] = (loop, params, xd)
@@ -111,19 +101,13 @@ def main():
         print(f"compiled b{b} {variant or 'base'}",
               file=sys.stderr, flush=True)
 
+    from feathercnn_tpu.utils.timing import slope_time
     results = {k: [] for k in configs}
-    warm = 5
     for r in range(args.rounds):
         for key in configs:
             b, variant = key
             loop, params, xd = loops[key]
-            t0 = time.time()
-            float(loop(params, xd, jnp.int32(warm)))
-            t_short = time.time() - t0
-            t0 = time.time()
-            float(loop(params, xd, jnp.int32(warm + args.iters)))
-            t_long = time.time() - t0
-            dt = max(t_long - t_short, 1e-9) / args.iters
+            dt = slope_time(loop, params, xd, iters=args.iters)
             results[key].append(b / dt)
             print(f"round {r} b{b} {variant or 'base':12s}: "
                   f"{b/dt:,.0f} img/s", file=sys.stderr, flush=True)

@@ -12,7 +12,27 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
-__all__ = ["EngineConfig"]
+__all__ = ["EngineConfig", "apply_baked_overrides"]
+
+
+def apply_baked_overrides(config: "EngineConfig",
+                          meta: Dict[str, Any]) -> "EngineConfig":
+    """Apply a graph's measured per-model config bakes
+    (``meta['config_overrides']``) to ``config`` for every field the
+    caller left at its dataclass default.
+
+    An explicit NON-default user value always wins; a value equal to the
+    default is indistinguishable from "unset", so to counter a bake pass
+    a non-default value or clear the meta entry (bench/batch_sweep.py
+    strips the meta when A/B-ing a baked flag for exactly this reason).
+    """
+    baked = meta.get("config_overrides")
+    if not baked:
+        return config
+    defaults = {f.name: f.default for f in dataclasses.fields(EngineConfig)}
+    apply = {k: v for k, v in baked.items()
+             if k in defaults and getattr(config, k) == defaults[k]}
+    return config.replace(**apply) if apply else config
 
 
 @dataclasses.dataclass(frozen=True)

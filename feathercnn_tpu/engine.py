@@ -46,18 +46,9 @@ class Engine:
             self.config = self.config.replace(
                 algo_overrides=tuple(baked.items()))
         # Per-model measured config defaults (e.g. GoogLeNet serves faster
-        # with int8_requant_ops off — BASELINE.md).  A baked field applies
-        # only when the caller left it at the EngineConfig default, so
-        # explicit user choices always win.
-        baked_cfg = self.graph.meta.get("config_overrides")
-        if baked_cfg:
-            import dataclasses as _dc
-            defaults = {f.name: f.default for f in _dc.fields(EngineConfig)}
-            apply = {k: v for k, v in baked_cfg.items()
-                     if k in defaults
-                     and getattr(self.config, k) == defaults[k]}
-            if apply:
-                self.config = self.config.replace(**apply)
+        # with int8_requant_ops off — BASELINE.md).
+        from .config import apply_baked_overrides
+        self.config = apply_baked_overrides(self.config, self.graph.meta)
         if optimize_graph:
             optimize(self.graph,
                      merge_siblings=self.config.merge_siblings)

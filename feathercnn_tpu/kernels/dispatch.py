@@ -97,9 +97,10 @@ def conv_forward(node, x, w, bias, ctx):
     cin = x.shape[-1]
     algo = ctx.config.algo_for(node.name) or select_algo(
         node, cin * group if group > 1 else cin, q is not None)
-    if segs is not None:
+    if segs is not None and algo != "dot1x1":
         # per-channel activation segments (merged sibling convs) are an
         # XLA-epilogue feature; the Pallas kernels take one static act
+        # (dot1x1 handles segments itself)
         algo = "xla"
     interpret = ctx.config.interpret
 

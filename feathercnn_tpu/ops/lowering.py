@@ -89,6 +89,25 @@ def apply_act_segments(y: jnp.ndarray, segments) -> jnp.ndarray:
 # Convolution family
 # ----------------------------------------------------------------------
 
+def _dequant_for_oracle(x, w, q, ctx):
+    """The "xla" backend is the float oracle: if quantization replaced
+    the weights with int8 grids (or an int8 edge arrives), dequantize
+    here so the oracle stays numerically meaningful instead of silently
+    multiplying raw lattice values.  The quantized *compute* paths live
+    in kernels/dispatch.py (backend="pallas")."""
+    if x.dtype == jnp.int8:
+        xs = q.get("x_scale", 1.0) if q else 1.0
+        x = (x.astype(jnp.float32) * xs).astype(
+            jnp.dtype(ctx.config.compute_dtype))
+    if w.dtype == jnp.int8:
+        ws = q["w_scale"] if q is not None else 1.0
+        w = (w.astype(jnp.float32)
+             * np.reshape(ws, (1,) * (w.ndim - 1) + (-1,))).astype(x.dtype)
+    else:
+        w = w.astype(x.dtype)
+    return x, w
+
+
 def _conv_hparams(node: Node):
     a = node.attrs
     kh = a.get("kernel_h", a.get("kernel_size", 1))
@@ -114,8 +133,9 @@ def _lower_conv(node, inputs, params, ctx):
         from ..kernels import dispatch as kdispatch
         return [kdispatch.conv_forward(node, x, w, bias, ctx)]
 
+    x, w = _dequant_for_oracle(x, w, ctx.qinfo(node), ctx)
     y = jax.lax.conv_general_dilated(
-        x, w.astype(x.dtype),
+        x, w,
         window_strides=(sh, sw),
         padding=((ph, ph), (pw, pw)),
         rhs_dilation=(dil, dil),
@@ -145,7 +165,8 @@ def _lower_fc(node, inputs, params, ctx):
         from ..kernels import dispatch as kdispatch
         return [kdispatch.fc_forward(node, x, w, bias, ctx)]
 
-    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    x, w = _dequant_for_oracle(x, w, ctx.qinfo(node), ctx)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     y = apply_activation(y, act)

@@ -131,11 +131,17 @@ class PipelineEngine:
 
         self.config = config or EngineConfig()
         self.graph = copy.deepcopy(graph)
+        # same per-model baked defaults as Engine (meta config_overrides)
+        from ..config import apply_baked_overrides
+        self.config = apply_baked_overrides(self.config, self.graph.meta)
         if optimize_graph:
-            optimize(self.graph)
+            optimize(self.graph,
+                     merge_siblings=self.config.merge_siblings)
         if self.config.quant:
             from ..quant.rewrite import quantize_graph
-            quantize_graph(self.graph, self.config.quant)
+            quantize_graph(self.graph, self.config.quant,
+                           int8_grouped=self.config.int8_grouped,
+                           requant_ops=self.config.int8_requant_ops)
         infer_shapes(self.graph)
         self.devices = list(devices if devices is not None
                             else jax.devices())

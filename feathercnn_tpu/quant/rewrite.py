@@ -99,8 +99,12 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False,
         info = qmeta.get(c.name)
         if c.op in ("Convolution", "InnerProduct"):
             # grouped/depthwise convs run the int8 path only when opted
-            # in (kernels/dispatch.py) — otherwise they take float input
-            if c.attrs.get("group", 1) != 1 and not int8_grouped:
+            # in (kernels/dispatch.py) — otherwise they take float input.
+            # Mirror dispatch's dil==1 guard: a dilated grouped conv
+            # would dequantize the edge anyway, so marking it int8 only
+            # adds a lossy round trip.
+            if c.attrs.get("group", 1) != 1 and not (
+                    int8_grouped and c.attrs.get("dilation", 1) == 1):
                 return None
             if info and info.get("x_scale") is not None \
                     and c.inputs[0] == value:

@@ -15,7 +15,56 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-__all__ = ["device_bench"]
+__all__ = ["device_bench", "engine_loop", "slope_time"]
+
+
+def engine_loop(eng, x=None):
+    """Build the canonical whole-model timing loop for an Engine.
+
+    Returns ``(loop, params, x_device)`` where ``loop(params, x, n)``
+    runs ``n`` forward passes inside one jitted ``lax.fori_loop`` with a
+    per-iteration input perturbation (defeats LICM/CSE) and reduces to a
+    single scalar whose fetch is the only true sync point.  Shared by
+    bench.py, bench/batch_sweep.py, and tools/autotune.py --flags so the
+    timing method lives in exactly one place.
+    """
+    import numpy as np
+
+    fwd = eng._build_forward()
+    params = eng._prepare_params()
+    (in_name,) = eng.graph.inputs
+    first_out = eng.graph.outputs[0]
+    if x is None:
+        spec = next(iter(eng.graph.inputs.values()))
+        x = np.random.default_rng(0).normal(
+            size=spec.shape).astype(np.float32)
+
+    @jax.jit
+    def loop(params, x, n):
+        def body(i, carry):
+            if x.dtype == jnp.int8:
+                xi = x.at[(0,) * x.ndim].add(i.astype(jnp.int8))
+            else:
+                xi = x + jnp.asarray(i, x.dtype) * jnp.asarray(1e-6,
+                                                               x.dtype)
+            out = fwd(params, {in_name: xi})
+            return carry + out[first_out].ravel()[0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    return loop, params, jax.device_put(jnp.asarray(x))
+
+
+def slope_time(loop, params, xd, warm: int = 5, iters: int = 20) -> float:
+    """Seconds per iteration from ONE T(long)-T(short) slope pair
+    (cancels the tunnel's ~30-50 ms constant dispatch+fetch cost).
+    Callers interleave/repeat and take medians — single pairs drift."""
+    t0 = time.time()
+    float(loop(params, xd, jnp.int32(warm)))
+    t_short = time.time() - t0
+    t0 = time.time()
+    float(loop(params, xd, jnp.int32(warm + iters)))
+    t_long = time.time() - t0
+    return max(t_long - t_short, 1e-9) / iters
 
 
 def device_bench(fn: Callable, args: Sequence, iters: int = 50,

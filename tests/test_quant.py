@@ -330,3 +330,16 @@ def test_baked_config_overrides(rng):
     eng = Engine(g2, EngineConfig(merge_siblings=False))
     assert eng.config.int8_grouped is False         # baked applies
     assert eng.config.merge_siblings is False
+
+
+def test_xla_backend_quant_dequantizes(rng):
+    """The 'xla' oracle backend must dequantize int8 weights (w_scale) —
+    regression: it used to raw-cast the int8 lattice into the conv."""
+    g = _mini_convnet()
+    x = rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g)(x))
+    for quant in ("w8", "w8a8"):
+        if quant == "w8a8":
+            calibrate(g, [x], method="max")
+        out = np.asarray(Engine(g, EngineConfig(quant=quant))(x))
+        assert _cosine(ref, out) > 0.997, quant

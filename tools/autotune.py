@@ -201,15 +201,14 @@ def tune_flags(graph, dtype: str, quant, rounds: int = 5, iters: int = 20,
     requant edges off — its baked config — the merge is neutral).  When
     several flags flip, apply the largest winner, re-run, repeat."""
     import copy
-    import time
 
     import dataclasses as dc
-    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from feathercnn_tpu import Engine, EngineConfig
     from feathercnn_tpu.utils.cache import enable_persistent_cache
+    from feathercnn_tpu.utils.timing import engine_loop, slope_time
     enable_persistent_cache()
 
     defaults = {f.name: f.default for f in dc.fields(EngineConfig)}
@@ -224,43 +223,16 @@ def tune_flags(graph, dtype: str, quant, rounds: int = 5, iters: int = 20,
     for name, cfg in variants:
         g = copy.deepcopy(graph)
         g.meta.pop("config_overrides", None)   # measure from scratch
-        eng = Engine(g, cfg)
-        fwd = eng._build_forward()
-        params = eng._prepare_params()
-        (in_name,) = eng.graph.inputs
-        first_out = eng.graph.outputs[0]
-        spec = next(iter(eng.graph.inputs.values()))
-        x = np.random.default_rng(0).normal(size=spec.shape).astype(
-            np.float32)
-
-        @jax.jit
-        def loop(params, x, n, fwd=fwd, in_name=in_name,
-                 first_out=first_out):
-            def body(i, carry):
-                xi = x + jnp.asarray(i, x.dtype) * jnp.asarray(1e-6,
-                                                               x.dtype)
-                out = fwd(params, {in_name: xi})
-                return carry + out[first_out].ravel()[0].astype(
-                    jnp.float32)
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-        xd = jax.device_put(jnp.asarray(x))
-        float(loop(params, xd, jnp.int32(3)))
+        loop, params, xd = engine_loop(Engine(g, cfg))
+        float(loop(params, xd, jnp.int32(3)))  # compile
         loops[name] = (loop, params, xd)
         print(f"compiled {name}", file=sys.stderr, flush=True)
 
-    warm = 5
     times = {name: [] for name, _ in variants}
     for r in range(rounds):
         for name, _ in variants:
             loop, params, xd = loops[name]
-            t0 = time.time()
-            float(loop(params, xd, jnp.int32(warm)))
-            t_short = time.time() - t0
-            t0 = time.time()
-            float(loop(params, xd, jnp.int32(warm + iters)))
-            t_long = time.time() - t0
-            times[name].append(max(t_long - t_short, 1e-9) / iters)
+            times[name].append(slope_time(loop, params, xd, iters=iters))
 
     overrides = {}
     base_t = np.asarray(times["base"])
@@ -306,17 +278,27 @@ def main():
                                            with_softmax=False)
     if args.flags:
         if args.quant == "w8a8" and "act_scales" not in graph.meta:
-            import numpy as np
-            from feathercnn_tpu.models import MODEL_BUILDERS
-            from feathercnn_tpu.quant import calibrate
-            g_cal = MODEL_BUILDERS[args.model](batch=8, with_softmax=False)
-            spec0 = next(iter(g_cal.inputs.values()))
-            cal = [np.random.default_rng(1).normal(
-                size=spec0.shape).astype(np.float32)]
-            calibrate(g_cal, cal, method="max",
-                      config=EngineConfig(compute_dtype=args.dtype))
-            graph.meta.update({k: g_cal.meta[k]
-                               for k in ("act_scales", "value_scales")})
+            if args.ftpu:
+                # a converted artifact must carry its own baked scales —
+                # calibrating a random-weight zoo twin would rank flags
+                # for a model that never runs that way
+                print("warning: %s has no baked act_scales; layers "
+                      "degrade to weight-only during the flag A/B — "
+                      "calibrate and re-save the artifact first for a "
+                      "representative measurement" % args.ftpu,
+                      file=sys.stderr)
+            else:
+                import numpy as np
+                from feathercnn_tpu.quant import calibrate
+                g_cal = MODEL_BUILDERS[args.model](batch=8,
+                                                   with_softmax=False)
+                spec0 = next(iter(g_cal.inputs.values()))
+                cal = [np.random.default_rng(1).normal(
+                    size=spec0.shape).astype(np.float32)]
+                calibrate(g_cal, cal, method="max",
+                          config=EngineConfig(compute_dtype=args.dtype))
+                graph.meta.update({k: g_cal.meta[k]
+                                   for k in ("act_scales", "value_scales")})
         flag_overrides = tune_flags(graph, args.dtype, args.quant,
                                     iters=args.iters)
         print(f"\nflag decisions: {json.dumps(flag_overrides)}")
