@@ -47,7 +47,8 @@ def layer_table(graph, quant):
             flops = 2.0 * nb * oh * ow * co * kh * kw_ * (cin / group)
         else:
             flops = 2.0 * out_spec.shape[0] * int(np.prod(w.shape))
-        act_bytes = 2  # bf16 edges
+        # full-int8 runs carry int8 edges (1 B/elem); fp/w8 runs bf16
+        act_bytes = 1 if quant == "w8a8" else 2
         wbytes = w.size * (1 if quant else 2)
         bytes_moved = (in_spec.size * act_bytes + out_spec.size * act_bytes
                        + wbytes)
@@ -135,6 +136,15 @@ def measure_algos(graph, rows, dtype, quant, iters=20, only_algos=None):
             fn = functools.partial(dispatch.conv_forward, n, ctx=ctx)
             try:
                 t = device_bench(lambda a: fn(a, w, bias), [x], iters=iters)
+                # fast layers: a few ms of total slope delta drowns in
+                # tunnel noise (negative slopes clip to ~0 and report
+                # absurd SoL) — rescale iters so the timed delta is
+                # >=50 ms and re-measure
+                if t * iters < 0.03:
+                    it2 = min(int(0.05 / max(t, 1e-7)), 5000)
+                    if it2 > iters:
+                        t = device_bench(lambda a: fn(a, w, bias), [x],
+                                         iters=it2)
                 row["measured_ms"][algo] = round(max(t, 1e-7) * 1e3, 5)
             except Exception as e:
                 row["measured_ms"][algo] = f"FAIL:{type(e).__name__}"

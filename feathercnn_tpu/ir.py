@@ -262,6 +262,30 @@ def _conv_shape(node, in_specs, graph):
     return [TensorSpec((n, oh, ow, co), in_specs[0].dtype)]
 
 
+@register_shape_fn("Deconvolution")
+def _deconv_shape(node, in_specs, graph):
+    """Transposed conv (Caffe Deconvolution, the FCN upsampling op):
+    out = stride*(in-1) + dilated_kernel - 2*pad."""
+    (n, h, w, c) = in_specs[0].shape
+    kh, kw, sh, sw, ph, pw, dil = _conv_attrs(node)
+    co = node.attrs["num_output"]
+    oh = sh * (h - 1) + dil * (kh - 1) + 1 - 2 * ph
+    ow = sw * (w - 1) + dil * (kw - 1) + 1 - 2 * pw
+    return [TensorSpec((n, oh, ow, co), in_specs[0].dtype)]
+
+
+@register_shape_fn("Crop")
+def _crop_shape(node, in_specs, graph):
+    """Caffe Crop: crop bottom[0] to bottom[1]'s size on the listed NHWC
+    ``axes`` (the converter translates Caffe's "all NCHW dims >= axis" —
+    C is last in NHWC, so an explicit list is needed)."""
+    axes = node.attrs.get("axes", [1, 2])
+    shape = list(in_specs[0].shape)
+    for d in axes:
+        shape[d % in_specs[0].rank] = in_specs[1].shape[d]
+    return [TensorSpec(tuple(shape), in_specs[0].dtype)]
+
+
 @register_shape_fn("Pooling")
 def _pool_shape(node, in_specs, graph):
     (n, h, w, c) = in_specs[0].shape

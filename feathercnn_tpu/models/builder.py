@@ -89,6 +89,38 @@ class GraphBuilder:
             out = self.relu(name + "/relu", out)
         return out
 
+    def deconv(self, name: str, x: str, num_output: int, kernel: int,
+               stride: int = 1, pad: int = 0, group: int = 1,
+               bias: bool = True, dilation: int = 1,
+               relu: bool = False) -> str:
+        """Transposed conv (Caffe Deconvolution); weights HWIO
+        (KH, KW, Cin/g, Cout)."""
+        cin = self._channels[x]
+        w = self._param(name + "/w", (kernel, kernel, cin // group,
+                                      num_output), "weight")
+        params = [w]
+        if bias:
+            params.append(self._param(name + "/b", (num_output,), "zeros"))
+        attrs = {"num_output": num_output, "kernel_h": kernel,
+                 "kernel_w": kernel, "stride": stride, "group": group,
+                 "bias_term": bias, "dilation": dilation,
+                 "pad_h": pad, "pad_w": pad}
+        out = self._add(Node(name, "Deconvolution", [x], [name], attrs,
+                             params))[0]
+        self._channels[out] = num_output
+        if relu:
+            out = self.relu(name + "/relu", out)
+        return out
+
+    def crop(self, name: str, x: str, ref: str,
+             axes: Sequence[int] = (1, 2),
+             offsets: Sequence[int] = (0,)) -> str:
+        out = self._add(Node(name, "Crop", [x, ref], [name],
+                             {"axes": list(axes),
+                              "offsets": list(offsets)}))[0]
+        self._channels[out] = self._channels[x]
+        return out
+
     def dwconv(self, name: str, x: str, kernel: int = 3, stride: int = 1,
                pad: int = 1, bias: bool = True, relu: bool = False) -> str:
         c = self._channels[x]

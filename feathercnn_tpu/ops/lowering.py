@@ -150,6 +150,50 @@ def _lower_conv(node, inputs, params, ctx):
     return [y.astype(x.dtype)]
 
 
+@register_lowering("Deconvolution")
+def _lower_deconv(node, inputs, params, ctx):
+    """Transposed conv (Caffe Deconvolution — FCN upsampling).  Lowered
+    as the equivalent forward conv: input dilated by the stride, kernel
+    spatially flipped, padding = dilated_kernel - 1 - pad.  Weights are
+    HWIO (KH, KW, Cin/g, Cout) with lax's grouped-output convention (the
+    converter reshuffles Caffe's (Cin, Cout/g, KH, KW))."""
+    x = inputs[0]
+    w = params[0]
+    bias = (params[1] if node.attrs.get("bias_term", True)
+            and len(params) > 1 else None)
+    kh, kw, sh, sw, ph, pw, dil, group = _conv_hparams(node)
+    wf = jnp.flip(w.astype(x.dtype), axis=(0, 1))
+    y = jax.lax.conv_general_dilated(
+        x, wf,
+        window_strides=(1, 1),
+        padding=((dil * (kh - 1) - ph,) * 2, (dil * (kw - 1) - pw,) * 2),
+        lhs_dilation=(sh, sw),
+        rhs_dilation=(dil, dil),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=group,
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    y = apply_activation(y, node.attrs.get("activation"))
+    return [y.astype(x.dtype)]
+
+
+@register_lowering("Crop")
+def _lower_crop(node, inputs, params, ctx):
+    """Caffe Crop: slice bottom[0] to bottom[1]'s size on the listed
+    NHWC ``axes`` at the parallel ``offsets``."""
+    x, ref = inputs
+    axes = [d % x.ndim for d in node.attrs.get("axes", [1, 2])]
+    offsets = list(node.attrs.get("offsets", [0]))
+    starts = [0] * x.ndim
+    sizes = list(x.shape)
+    for i, d in enumerate(axes):
+        starts[d] = offsets[i] if i < len(offsets) else offsets[-1]
+        sizes[d] = ref.shape[d]
+    return [jax.lax.dynamic_slice(x, starts, sizes)]
+
+
 @register_lowering("InnerProduct")
 def _lower_fc(node, inputs, params, ctx):
     x = inputs[0]

@@ -162,3 +162,44 @@ def test_v1_layer_normalization(rng):
     out = np.asarray(Engine(g)(x))
     ref = x @ w.reshape(2, 3).T
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_deconv_crop_conversion_matches_torch(rng):
+    """FCN-style Deconvolution (grouped, Caffe (Cin,Cout/g,KH,KW) blob)
+    + Crop converted and checked against torch conv_transpose2d."""
+    import torch.nn.functional as F
+    import torch
+
+    CIN, COUT, G, K, S, P = 6, 6, 2, 4, 2, 1
+
+    def blob(arr):
+        arr = np.asarray(arr, np.float32)
+        return {"shape": {"dim": list(arr.shape)},
+                "data": arr.ravel()}
+
+    wd = rng.normal(size=(CIN, COUT // G, K, K)).astype(np.float32)
+    bd = rng.normal(size=(COUT,)).astype(np.float32)
+    layers = [
+        {"name": "up", "type": "Deconvolution", "bottom": ["data"],
+         "top": ["up"],
+         "convolution_param": {"num_output": COUT, "kernel_size": [K],
+                               "stride": [S], "pad": [P], "group": G},
+         "blobs": [blob(wd), blob(bd)]},
+        # crop H,W back to the input's size (Caffe axis=2)
+        {"name": "crop", "type": "Crop", "bottom": ["up", "data"],
+         "top": ["crop"], "crop_param": {"axis": 2, "offset": [1]}},
+    ]
+    net = {"name": "fcnmini", "input": ["data"],
+           "input_dim": [1, CIN, 8, 8], "layer": layers}
+    raw = caffe_pb.encode(net, caffe_pb.NET_PARAMETER)
+    parsed = caffe_pb.parse_net(raw)
+    g = Converter(parsed, parsed).convert()
+
+    x_nchw = rng.normal(size=(1, CIN, 8, 8)).astype(np.float32)
+    out = np.asarray(Engine(g)(np.transpose(x_nchw, (0, 2, 3, 1))))
+    up = F.conv_transpose2d(torch.from_numpy(x_nchw),
+                            torch.from_numpy(wd), torch.from_numpy(bd),
+                            stride=S, padding=P, groups=G)
+    ref = up[:, :, 1:9, 1:9].numpy()
+    np.testing.assert_allclose(out, np.transpose(ref, (0, 2, 3, 1)),
+                               rtol=1e-4, atol=1e-5)

@@ -53,3 +53,52 @@ def test_prelu_channelwise(rng):
         torch.from_numpy(slope))
     ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
     np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_deconv_vs_torch(rng):
+    """Deconvolution (transposed conv) vs torch.conv_transpose2d,
+    including stride/pad/groups — Caffe deconv shares torch's formula.
+    Our IR weights are HWIO (KH,KW,Cin/g,Cout) with lax's grouped-output
+    convention; torch wants (Cin, Cout/g, KH, KW)."""
+    import torch
+    for (cin, cout, k, s, p, g) in [(8, 6, 3, 1, 0, 1),
+                                    (8, 6, 4, 2, 1, 1),
+                                    (8, 8, 3, 2, 1, 4)]:
+        x = rng.normal(size=(2, 5, 5, cin)).astype(np.float32)
+        w = rng.normal(size=(k, k, cin // g, cout)).astype(np.float32)
+        b = rng.normal(size=(cout,)).astype(np.float32)
+        attrs = {"num_output": cout, "kernel_size": k, "stride": s,
+                 "pad": p, "group": g, "bias_term": True}
+        y = _run_single("Deconvolution", attrs, x,
+                        params={"w": w, "b": b})
+        # IR (KH,KW,Cin/g,Cout) grouped-output -> torch (Cin,Cout/g,K,K):
+        # invert the converter's reshuffle
+        wt = w.reshape(k, k, cin // g, g, cout // g)
+        wt = np.transpose(wt, (3, 2, 4, 0, 1)).reshape(
+            cin, cout // g, k, k)
+        ref = torch.nn.functional.conv_transpose2d(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+            torch.from_numpy(wt), torch.from_numpy(b),
+            stride=s, padding=p, groups=g)
+        ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+        assert y.shape == ref.shape, (y.shape, ref.shape)
+        np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_crop_fcn_style(rng):
+    """FCN pattern: deconv upsample then Crop to the encoder skip's
+    spatial size (axes {H,W}, channels untouched)."""
+    from feathercnn_tpu.models.builder import GraphBuilder
+    b = GraphBuilder("fcn", seed=17)
+    x = b.input("data", (1, 14, 14, 8))
+    up = b.deconv("up", x, 4, 4, stride=2, pad=0)     # -> 30x30
+    ref = b.conv("skip", x, 6, 1)                     # -> 14x14x6
+    out = b.crop("crop", up, ref, axes=(1, 2), offsets=(2, 2))
+    g = b.finish([out, ref])
+    eng = Engine(g)
+    xv = rng.normal(size=(1, 14, 14, 8)).astype(np.float32)
+    outs = eng.run(xv)
+    y = np.asarray(outs["crop"])
+    assert y.shape == (1, 14, 14, 4)   # H,W cropped; C kept
+    full = np.asarray(eng.run(xv, extract=["up"])["up"])
+    np.testing.assert_allclose(y, full[:, 2:16, 2:16, :], atol=0)

@@ -272,6 +272,7 @@ POWER_PARAM = {1: ("power", "float"), 2: ("scale", "float"),
                3: ("shift", "float")}
 INPUT_PARAM = {1: ("shape", ("rep_msg", BLOB_SHAPE))}
 ELU_PARAM = {1: ("alpha", "float")}
+CROP_PARAM = {1: ("axis", "varint"), 2: ("offset", "packed_varint")}
 
 LAYER_PARAMETER = {
     1: ("name", "string"),
@@ -297,6 +298,7 @@ LAYER_PARAMETER = {
     140: ("elu_param", ("msg", ELU_PARAM)),
     142: ("scale_param", ("msg", SCALE_PARAM)),
     143: ("input_param", ("msg", INPUT_PARAM)),
+    144: ("crop_param", ("msg", CROP_PARAM)),
 }
 
 # Old-style (V1) layers: type is an enum, params use small field numbers.

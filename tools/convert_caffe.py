@@ -202,6 +202,35 @@ class Converter:
                 if attrs["bias_term"] and len(blobs) > 1:
                     add_param("b", blobs[1].reshape(-1))
             op = "Convolution"
+        elif ltype == "Deconvolution":
+            # Caffe stores deconv weights (Cin, Cout/g, KH, KW); our IR
+            # wants HWIO (KH, KW, Cin/g, Cout) with lax's grouped-output
+            # convention (ops/lowering._lower_deconv)
+            p = layer.get("convolution_param", {})
+            attrs = _conv_attrs(p)
+            if blobs:
+                w = blobs[0]
+                grp = attrs.get("group", 1)
+                ci, cog, kh, kw = w.shape
+                w = w.reshape(grp, ci // grp, cog, kh, kw)
+                w = np.transpose(w, (3, 4, 1, 0, 2))
+                add_param("w", np.ascontiguousarray(
+                    w.reshape(kh, kw, ci // grp, grp * cog)))
+                if attrs["bias_term"] and len(blobs) > 1:
+                    add_param("b", blobs[1].reshape(-1))
+            op = "Deconvolution"
+        elif ltype == "Crop":
+            p = layer.get("crop_param", {})
+            ax = int(p.get("axis", 2))
+            # Caffe crops every NCHW dim >= axis; translate the dim SET
+            # to NHWC indices (N,C,H,W -> 0,3,1,2), offsets stay aligned
+            nchw_to_nhwc = {0: 0, 1: 3, 2: 1, 3: 2}
+            dims = list(range(ax, 4))
+            offs = [int(o) for o in _as_list(p.get("offset", [0]))]
+            attrs = {"axes": [nchw_to_nhwc[d] for d in dims],
+                     "offsets": [offs[i] if i < len(offs) else offs[-1]
+                                 for i in range(len(dims))]}
+            op = "Crop"
         elif ltype == "InnerProduct":
             p = layer.get("inner_product_param", {})
             attrs = {"num_output": int(p["num_output"]),
