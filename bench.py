@@ -76,6 +76,8 @@ BEST_BATCH = {
     "resnet50": 128, "resnet101": 128, "resnet152": 96,
     "googlenet": 256, "densenet121": 128, "resnext50": 128,
     "alexnet": 256,
+    # FCN's pad-100 VGG backbone makes 422x422 maps — keep batch small
+    "fcn32s": 16,
 }
 
 

@@ -14,7 +14,8 @@ from .builder import GraphBuilder
 
 __all__ = ["squeezenet_v11", "mobilenet_v1", "vgg16", "resnet50",
            "resnet101", "resnet152", "googlenet", "densenet121",
-           "resnext50", "alexnet", "build_model", "MODEL_BUILDERS"]
+           "resnext50", "alexnet", "fcn32s", "build_model",
+           "MODEL_BUILDERS"]
 
 
 def squeezenet_v11(batch: int = 1, seed: int = 0,
@@ -346,6 +347,35 @@ def resnext50(batch: int = 1, seed: int = 0,
     return b.finish([x])
 
 
+def fcn32s(batch: int = 1, seed: int = 0, num_classes: int = 21,
+           size: int = 224, with_softmax: bool = True) -> Graph:
+    """FCN-32s semantic segmentation (the public voc-fcn32s deploy):
+    VGG-16 backbone with Caffe's pad-100 trick, fully-convolutional
+    fc6/fc7, a stride-32 Deconvolution upsample, and a Crop back to the
+    input's spatial size (offset 19 — fixed by the network geometry).
+    Exercises the Deconvolution/Crop pair in a real model."""
+    b = GraphBuilder("fcn32s", seed)
+    data = b.input("data", (batch, size, size, 3))
+    x = b.conv("conv1_1", data, 64, 3, pad=100, relu=True)
+    x = b.conv("conv1_2", x, 64, 3, pad=1, relu=True)
+    x = b.pool("pool1", x, 2, 2)
+    for stage, n, ch in [(2, 2, 128), (3, 3, 256), (4, 3, 512),
+                         (5, 3, 512)]:
+        for i in range(1, n + 1):
+            x = b.conv(f"conv{stage}_{i}", x, ch, 3, pad=1, relu=True)
+        x = b.pool(f"pool{stage}", x, 2, 2)
+    x = b.conv("fc6", x, 4096, 7, relu=True)
+    x = b.dropout("drop6", x)
+    x = b.conv("fc7", x, 4096, 1, relu=True)
+    x = b.dropout("drop7", x)
+    x = b.conv("score_fr", x, num_classes, 1)
+    x = b.deconv("upscore", x, num_classes, 64, stride=32, bias=False)
+    x = b.crop("score", x, data, axes=(1, 2), offsets=(19, 19))
+    if with_softmax:
+        x = b.softmax("prob", x)
+    return b.finish([x])
+
+
 MODEL_BUILDERS = {
     "squeezenet_v11": squeezenet_v11,
     "mobilenet_v1": mobilenet_v1,
@@ -357,6 +387,7 @@ MODEL_BUILDERS = {
     "densenet121": densenet121,
     "resnext50": resnext50,
     "alexnet": alexnet,
+    "fcn32s": fcn32s,
 }
 
 
