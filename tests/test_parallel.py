@@ -204,3 +204,30 @@ def test_pipeline_engine_int8(rng):
     pipe = PipelineEngine(g, cfg, num_stages=3)
     out = np.asarray(pipe(x, micro_batches=2))
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_engine_dp_tp_sharding_int8(mesh, rng):
+    """Full-int8 engine under the (2,4) GSPMD mesh: int8 edges and
+    requant epilogues execute sharded and match the single-device
+    quantized engine."""
+    from feathercnn_tpu.models.builder import GraphBuilder
+    from feathercnn_tpu.quant import calibrate
+    b = GraphBuilder("qnet", seed=15)
+    x = b.input("data", (8, 8, 8, 8))
+    y = b.conv("c1", x, 32, 3, pad=1, relu=True)
+    y = b.conv("c2", y, 64, 1, relu=True)
+    y = b.conv("c3", y, 32, 1, relu=True)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 8)
+    g = b.finish([y])
+
+    xv = rng.normal(size=(8, 8, 8, 8)).astype(np.float32)
+    calibrate(g, [xv], method="max")
+    qcfg = EngineConfig(backend="pallas", quant="w8a8", interpret=True,
+                        algo_overrides=(("*", "xla"),))
+    ref = np.asarray(Engine(g, qcfg)(xv))
+    eng = Engine(g, qcfg.replace(
+        sharding=ShardingConfig(mesh_shape=(2, 4))))
+    assert eng.graph.meta["quant"]["c1"].get("emit_int8")
+    out = np.asarray(eng(xv))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
