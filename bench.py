@@ -136,7 +136,8 @@ def bench_model(name: str, batch: int, dtype: str, backend: str,
         qm = eng.graph.meta.get("quant", {})
         first_conv = next(n for n in eng.graph.nodes
                           if n.op == "Convolution")
-        xs = qm.get(first_conv.name, {}).get("x_scale")
+        info = qm.get(first_conv.name, {})
+        xs = info.get("x_scale") or info.get("input_scale")
         if xs:
             x = np.clip(np.round(x / xs), -127, 127).astype(np.int8)
 

@@ -66,6 +66,13 @@ class EngineConfig:
     # one HBM read of the shared input instead of one per sibling.
     merge_siblings: bool = True
 
+    # w8a8: layer names whose input activations stay float (weights still
+    # int8; the output still emits int8 when consumers agree).  The
+    # classic use is the stem: at C_in=3 XLA's int8 conv is ~25% slower
+    # than bf16 (measured), and first-layer fp activations are standard
+    # int8-accuracy practice.
+    fp_act_layers: Tuple[str, ...] = ()
+
     # w8a8: enable the requantizing int8 edge types — mixed-scale Concat
     # (concat_int8) and Scale/LRN dequant->op->requant (requant_int8).
     # Off = only single-scale passthrough edges (accuracy debugging).
@@ -121,6 +128,8 @@ class EngineConfig:
         elif isinstance(src, (str, bytes)):
             src = json.loads(src)
         d = dict(src)
+        if "fp_act_layers" in d:
+            d["fp_act_layers"] = tuple(d["fp_act_layers"])
         if isinstance(d.get("algo_overrides"), dict):
             d["algo_overrides"] = tuple(d["algo_overrides"].items())
         elif d.get("algo_overrides"):

@@ -56,7 +56,8 @@ class Engine:
             from .quant.rewrite import quantize_graph
             quantize_graph(self.graph, self.config.quant,
                            int8_grouped=self.config.int8_grouped,
-                           requant_ops=self.config.int8_requant_ops)
+                           requant_ops=self.config.int8_requant_ops,
+                           fp_act_layers=self.config.fp_act_layers)
         if self.config.fuse_blocks or self.config.fuse_chains:
             from .passes_fusion import fuse_bottlenecks, fuse_chains
             infer_shapes(self.graph)  # fresh specs for the VMEM gate

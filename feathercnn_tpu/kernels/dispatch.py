@@ -72,11 +72,12 @@ def _quantize_act(x, x_scale: float):
 
 
 def _dequant_int8_edge(x, q, ctx):
-    """Defensive: a float conv path handed an int8 edge dequantizes the
-    activation (quant/rewrite keeps int8 away from these paths)."""
+    """A float conv path handed an int8 tensor dequantizes it: either a
+    serving-transferred int8 input into an fp-act stem (input_scale) or,
+    defensively, a stray int8 edge (x_scale)."""
     if x.dtype != jnp.int8:
         return x
-    xs_scale = q.get("x_scale", 1.0) if q else 1.0
+    xs_scale = (q.get("x_scale") or q.get("input_scale", 1.0)) if q else 1.0
     return (x.astype(jnp.float32) * xs_scale).astype(
         jnp.dtype(ctx.config.compute_dtype))
 

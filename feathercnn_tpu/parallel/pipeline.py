@@ -141,7 +141,8 @@ class PipelineEngine:
             from ..quant.rewrite import quantize_graph
             quantize_graph(self.graph, self.config.quant,
                            int8_grouped=self.config.int8_grouped,
-                           requant_ops=self.config.int8_requant_ops)
+                           requant_ops=self.config.int8_requant_ops,
+                           fp_act_layers=self.config.fp_act_layers)
         infer_shapes(self.graph)
         self.devices = list(devices if devices is not None
                             else jax.devices())

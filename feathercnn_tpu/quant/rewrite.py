@@ -20,7 +20,8 @@ _QUANT_OPS = ("Convolution", "InnerProduct")
 
 
 def quantize_graph(graph, mode: str, int8_grouped: bool = False,
-                   requant_ops: bool = True) -> None:
+                   requant_ops: bool = True,
+                   fp_act_layers=()) -> None:
     """``int8_grouped``: let grouped (cardinality) convs take int8 edges —
     measured exact on XLA (int32 accumulation) but the conv itself runs
     ~25% slower than bf16 at ResNeXt shapes; the win, when any, is the
@@ -44,9 +45,22 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False,
         wq, scale = quantize_weight_per_channel(np.asarray(w))
         graph.params[n.params[0]] = wq
         info = {"w_scale": scale}
+        # Stems stay on float activations: at C_in<=8 XLA's int8 conv is
+        # ~25% slower than bf16 AND the 77 MB f32->int8 input quantize is
+        # pure overhead (paired: ResNet-50 +6.4% whole-model).  Also the
+        # standard int8-accuracy practice (first layer fp).
+        fp_auto = (n.op == "Convolution" and n.inputs[0] in graph.inputs
+                   and w.ndim == 4
+                   and w.shape[-2] * n.attrs.get("group", 1) <= 8)
         if mode == "w8a8":
             xs = value_scales.get(n.inputs[0], act_scales.get(n.name))
-            if xs is not None:
+            if xs is None:
+                pass
+            elif n.name in fp_act_layers or fp_auto:
+                # keep the scale so serving can still TRANSFER int8
+                # inputs (dispatch dequantizes via input_scale)
+                info["input_scale"] = float(xs)
+            else:
                 info["x_scale"] = float(xs)
         qmeta[n.name] = info
 
@@ -204,7 +218,10 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False,
                                      "x_scale": float(xs),
                                      "y_scale": float(y_scale)}
             info = qmeta.get(n.name)
-            if info is not None and "x_scale" in info:
+            # a quantized conv/FC can emit int8 even when its own INPUT
+            # stays float (fp_act_layers: the float compute path requants
+            # in its epilogue via _out_spec)
+            if info is not None and "w_scale" in info:
                 y_scale = _edge_scale_for(n.outputs[0])
                 if y_scale is not None:
                     info["emit_int8"] = True

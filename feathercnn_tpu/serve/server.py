@@ -79,8 +79,11 @@ class InferenceServer:
             first_conv = next((n for n in engine.graph.nodes
                                if n.op == "Convolution"
                                and n.inputs[0] == graph_in), None)
-            xs = (qm.get(first_conv.name, {}).get("x_scale")
-                  if first_conv is not None else None)
+            info = (qm.get(first_conv.name, {})
+                    if first_conv is not None else {})
+            # fp-act stems keep input_scale so int8 transfer still works
+            # (the stem dequantizes in its epilogue-fused prologue)
+            xs = info.get("x_scale") or info.get("input_scale")
             if xs:
                 self._transfer_dtype = np.int8
                 self._transfer_scale = float(xs)

@@ -343,3 +343,28 @@ def test_xla_backend_quant_dequantizes(rng):
             calibrate(g, [x], method="max")
         out = np.asarray(Engine(g, EngineConfig(quant=quant))(x))
         assert _cosine(ref, out) > 0.997, quant
+
+
+def test_stem_auto_fp_activation(rng):
+    """Convs reading a graph input with C_in<=8 keep float activations
+    (measured: int8 stems are slower AND first-layer fp is standard
+    accuracy practice); the recorded input_scale still enables int8
+    serving transfer, and the stem still EMITS int8 for downstream."""
+    g = _mini_convnet()   # input (2,16,16,8): c1 is an auto-fp stem
+    x = rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g)(x))
+    calibrate(g, [x], method="max")
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 interpret=True,
+                                 algo_overrides=(("*", "xla"),)))
+    qm = eng.graph.meta["quant"]
+    assert "x_scale" not in qm["c1"] and "input_scale" in qm["c1"]
+    assert qm["c1"].get("emit_int8") is True   # downstream edge kept
+    assert "x_scale" in qm["c2"]               # mid-graph conv unaffected
+    out = np.asarray(eng(x))
+    assert _cosine(ref, out) > 0.998
+    # int8-transferred input dequantizes via input_scale
+    xq = np.clip(np.round(x / qm["c1"]["input_scale"]), -127,
+                 127).astype(np.int8)
+    out_q = np.asarray(eng(xq))
+    assert _cosine(ref, out_q) > 0.997

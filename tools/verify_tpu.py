@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--quant", default="w8a8")
     ap.add_argument("--min-cosine", type=float, default=0.995)
+    ap.add_argument("--min-top1", type=float, default=1.0,
+                    help="top-1 agreement gate; relax below 1.0 for "
+                         "models whose random-weight logit gaps sit "
+                         "under the int8 rounding noise (e.g. "
+                         "densenet121 — see BASELINE.md)")
     args = ap.parse_args()
     quant = None if args.quant in ("none", "None") else args.quant
 
@@ -87,7 +92,7 @@ def main():
                   == ref.reshape(args.batch, -1).argmax(-1)).mean())
     print(f"{args.model} {args.quant} b{args.batch}: TPU-vs-CPU "
           f"cosine={cos:.6f} top1-agreement={top1:.3f}")
-    ok = cos >= args.min_cosine and top1 == 1.0
+    ok = cos >= args.min_cosine and top1 >= args.min_top1
     sys.exit(0 if ok else 1)
 
 
