@@ -57,12 +57,18 @@ def graph_flops(graph) -> float:
             cm = w1.shape[-1]
             nb = n.attrs.get("nb", 1)
             total += 2.0 * oh * ow * (2 * c * cm + 9 * cm * cm) * nb
-        elif n.op == "Convolution":
+        elif n.op in ("Convolution", "Deconvolution"):
             kh = n.attrs.get("kernel_h", n.attrs.get("kernel_size", 1))
             kw = n.attrs.get("kernel_w", n.attrs.get("kernel_size", 1))
             group = n.attrs.get("group", 1)
-            cin = graph.specs[n.inputs[0]].shape[-1]
-            _, oh, ow, co = spec.shape
+            in_spec = graph.specs[n.inputs[0]]
+            cin = in_spec.shape[-1]
+            if n.op == "Deconvolution":
+                # transposed conv: every INPUT pixel hits k*k output taps
+                _, oh, ow, _ = in_spec.shape
+                co = n.attrs["num_output"]
+            else:
+                _, oh, ow, co = spec.shape
             total += 2.0 * oh * ow * co * kh * kw * (cin / group)
         elif n.op == "InnerProduct":
             w = graph.params[n.params[0]]
@@ -77,7 +83,7 @@ BEST_BATCH = {
     "googlenet": 256, "densenet121": 128, "resnext50": 128,
     "alexnet": 256,
     # FCN's pad-100 VGG backbone makes 422x422 maps — keep batch small
-    "fcn32s": 16,
+    "fcn32s": 16, "fcn16s": 16, "fcn8s": 16,
 }
 
 

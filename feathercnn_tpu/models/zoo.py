@@ -14,7 +14,7 @@ from .builder import GraphBuilder
 
 __all__ = ["squeezenet_v11", "mobilenet_v1", "vgg16", "resnet50",
            "resnet101", "resnet152", "googlenet", "densenet121",
-           "resnext50", "alexnet", "fcn32s", "build_model",
+           "resnext50", "alexnet", "fcn32s", "fcn16s", "fcn8s", "build_model",
            "MODEL_BUILDERS"]
 
 
@@ -347,33 +347,74 @@ def resnext50(batch: int = 1, seed: int = 0,
     return b.finish([x])
 
 
-def fcn32s(batch: int = 1, seed: int = 0, num_classes: int = 21,
-           size: int = 224, with_softmax: bool = True) -> Graph:
-    """FCN-32s semantic segmentation (the public voc-fcn32s deploy):
+def _fcn(variant: int, batch: int, seed: int, num_classes: int,
+         size: int, with_softmax: bool) -> Graph:
+    """FCN-32s/16s/8s semantic segmentation (the public voc-fcn* deploys):
     VGG-16 backbone with Caffe's pad-100 trick, fully-convolutional
-    fc6/fc7, a stride-32 Deconvolution upsample, and a Crop back to the
-    input's spatial size (offset 19 — fixed by the network geometry).
-    Exercises the Deconvolution/Crop pair in a real model."""
-    b = GraphBuilder("fcn32s", seed)
+    fc6/fc7, stride-2 Deconvolution upsamples fused with pool4/pool3 skip
+    scores (16s/8s), and a final Crop back to the input's spatial size
+    (offsets 19/27/31 — fixed by the network geometry).  Exercises
+    Deconvolution/Crop/Eltwise composition in real models."""
+    b = GraphBuilder(f"fcn{variant}s", seed)
     data = b.input("data", (batch, size, size, 3))
     x = b.conv("conv1_1", data, 64, 3, pad=100, relu=True)
     x = b.conv("conv1_2", x, 64, 3, pad=1, relu=True)
     x = b.pool("pool1", x, 2, 2)
+    pools = {}
     for stage, n, ch in [(2, 2, 128), (3, 3, 256), (4, 3, 512),
                          (5, 3, 512)]:
         for i in range(1, n + 1):
             x = b.conv(f"conv{stage}_{i}", x, ch, 3, pad=1, relu=True)
         x = b.pool(f"pool{stage}", x, 2, 2)
+        pools[stage] = x
     x = b.conv("fc6", x, 4096, 7, relu=True)
     x = b.dropout("drop6", x)
     x = b.conv("fc7", x, 4096, 1, relu=True)
     x = b.dropout("drop7", x)
     x = b.conv("score_fr", x, num_classes, 1)
-    x = b.deconv("upscore", x, num_classes, 64, stride=32, bias=False)
-    x = b.crop("score", x, data, axes=(1, 2), offsets=(19, 19))
+    if variant == 32:
+        x = b.deconv("upscore", x, num_classes, 64, stride=32, bias=False)
+        x = b.crop("score", x, data, axes=(1, 2), offsets=(19, 19))
+    else:
+        x = b.deconv("upscore2", x, num_classes, 4, stride=2, bias=False)
+        s4 = b.conv("score_pool4", pools[4], num_classes, 1)
+        s4 = b.crop("score_pool4c", s4, x, axes=(1, 2), offsets=(5, 5))
+        x = b.eltwise("fuse_pool4", [x, s4])
+        if variant == 16:
+            x = b.deconv("upscore16", x, num_classes, 32, stride=16,
+                         bias=False)
+            x = b.crop("score", x, data, axes=(1, 2), offsets=(27, 27))
+        else:
+            x = b.deconv("upscore_pool4", x, num_classes, 4, stride=2,
+                         bias=False)
+            s3 = b.conv("score_pool3", pools[3], num_classes, 1)
+            s3 = b.crop("score_pool3c", s3, x, axes=(1, 2),
+                        offsets=(9, 9))
+            x = b.eltwise("fuse_pool3", [x, s3])
+            x = b.deconv("upscore8", x, num_classes, 16, stride=8,
+                         bias=False)
+            x = b.crop("score", x, data, axes=(1, 2), offsets=(31, 31))
     if with_softmax:
         x = b.softmax("prob", x)
     return b.finish([x])
+
+
+def fcn32s(batch: int = 1, seed: int = 0, num_classes: int = 21,
+           size: int = 224, with_softmax: bool = True) -> Graph:
+    """FCN-32s (voc-fcn32s deploy structure)."""
+    return _fcn(32, batch, seed, num_classes, size, with_softmax)
+
+
+def fcn16s(batch: int = 1, seed: int = 0, num_classes: int = 21,
+           size: int = 224, with_softmax: bool = True) -> Graph:
+    """FCN-16s: + pool4 skip score fused before the x16 upsample."""
+    return _fcn(16, batch, seed, num_classes, size, with_softmax)
+
+
+def fcn8s(batch: int = 1, seed: int = 0, num_classes: int = 21,
+          size: int = 224, with_softmax: bool = True) -> Graph:
+    """FCN-8s: + pool4 and pool3 skip scores (the full skip ladder)."""
+    return _fcn(8, batch, seed, num_classes, size, with_softmax)
 
 
 MODEL_BUILDERS = {
@@ -388,6 +429,8 @@ MODEL_BUILDERS = {
     "resnext50": resnext50,
     "alexnet": alexnet,
     "fcn32s": fcn32s,
+    "fcn16s": fcn16s,
+    "fcn8s": fcn8s,
 }
 
 

@@ -150,29 +150,118 @@ def _lower_conv(node, inputs, params, ctx):
     return [y.astype(x.dtype)]
 
 
+def _subpixel_plan(k: int, s: int, p: int):
+    """Per-dimension plan for the subpixel deconv decomposition: a
+    stride-s transposed conv equals s dense convs (one per output phase
+    r = oy mod s) with ~ceil(k/s)-tap subkernels, interleaved.
+
+    Returns (Lp, PL, taps) with taps[t][r] = source kernel index (or -1)
+    so that  y[s*q + r] = sum_t x[q + t - PL] * W[taps[t][r]],
+    or None when the geometry needs the fallback (pads go negative)."""
+    L = -(-k // s)                       # max taps any phase uses
+    a = [(r + p) // s for r in range(s)]
+    Lp = L + (max(a) - min(a))
+    PL = Lp - 1 - max(a)
+    if PL < 0:
+        return None
+    taps = np.full((Lp, s), -1, np.int64)
+    for r in range(s):
+        b = (r + p) % s
+        for t in range(Lp):
+            m = PL + a[r] - t
+            idx = s * m + b
+            if 0 <= idx < k:
+                taps[t, r] = idx
+    return Lp, PL, taps
+
+
+def _deconv_subpixel(x, w, sh, sw, ph, pw, group, oh, ow):
+    """Stride>1 transposed conv as ONE dense conv + depth-to-space.
+
+    XLA lowers the textbook lhs-dilated form by computing all k*k taps —
+    including the (s-1)/s that hit dilation zeros (measured: FCN-16s'
+    k32/s16 upsample ran 5x slower than the whole FCN-8s ladder).  Here
+    each of the s*s output phases gets its own ceil(k/s)-tap subkernel,
+    batched into one MXU-friendly conv with s*s*Cout output channels,
+    then interleaved spatially.  Exact (pure reindexing of the sum)."""
+    n, ih, iw, cin = x.shape
+    k_h, k_w, cig, cout = w.shape
+    plan_h = _subpixel_plan(k_h, sh, ph)
+    plan_w = _subpixel_plan(k_w, sw, pw)
+    if plan_h is None or plan_w is None:
+        return None
+    Lph, PLh, taps_h = plan_h
+    Lpw, PLw, taps_w = plan_w
+    qh, qw = -(-oh // sh), -(-ow // sw)
+    pr_h = qh + max((r + ph) // sh for r in range(sh)) - ih
+    pr_w = qw + max((r + pw) // sw for r in range(sw)) - iw
+    if pr_h < 0 or pr_w < 0:
+        return None
+
+    # Gather the subkernels: (Lph, sh, Lpw, sw, cig, cout), zeros where a
+    # phase has no tap.  Constant indices — XLA folds the gather.
+    ih_idx = np.clip(taps_h, 0, k_h - 1)            # (Lph, sh)
+    iw_idx = np.clip(taps_w, 0, k_w - 1)            # (Lpw, sw)
+    mask = ((taps_h >= 0)[:, :, None, None]
+            & (taps_w >= 0)[None, None, :, :]).astype(np.float32)
+    wg = w[ih_idx[:, :, None, None], iw_idx[None, None, :, :]]
+    wg = wg * jnp.asarray(mask[..., None, None], wg.dtype)
+    # -> (Lph, Lpw, cig, g, sh, sw, cout/g): keep lax's grouped-output
+    # convention (contiguous per-group channel blocks)
+    g = group
+    wg = wg.reshape(Lph, sh, Lpw, sw, cig, g, cout // g)
+    wg = jnp.transpose(wg, (0, 2, 4, 5, 1, 3, 6))
+    wg = wg.reshape(Lph, Lpw, cig, g * sh * sw * (cout // g))
+
+    y = jax.lax.conv_general_dilated(
+        x, wg, window_strides=(1, 1),
+        padding=((PLh, pr_h), (PLw, pr_w)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=g,
+        preferred_element_type=jnp.float32,
+    )                                   # (n, qh, qw, g*sh*sw*cpg)
+    y = y.reshape(n, qh, qw, g, sh, sw, cout // g)
+    y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6))    # n qh sh qw sw g cpg
+    y = y.reshape(n, qh * sh, qw * sw, cout)
+    return y[:, :oh, :ow, :]
+
+
 @register_lowering("Deconvolution")
 def _lower_deconv(node, inputs, params, ctx):
-    """Transposed conv (Caffe Deconvolution — FCN upsampling).  Lowered
-    as the equivalent forward conv: input dilated by the stride, kernel
-    spatially flipped, padding = dilated_kernel - 1 - pad.  Weights are
-    HWIO (KH, KW, Cin/g, Cout) with lax's grouped-output convention (the
-    converter reshuffles Caffe's (Cin, Cout/g, KH, KW))."""
+    """Transposed conv (Caffe Deconvolution — FCN upsampling).  Weights
+    are HWIO (KH, KW, Cin/g, Cout) with lax's grouped-output convention
+    (the converter reshuffles Caffe's (Cin, Cout/g, KH, KW)).
+
+    stride>1, dilation==1 lowers via the subpixel decomposition
+    (_deconv_subpixel) — s*s dense phase convs in one MXU call instead of
+    XLA's all-taps lhs-dilated form; otherwise the textbook equivalent
+    forward conv (input dilated by the stride, kernel flipped,
+    padding = dilated_kernel - 1 - pad)."""
     x = inputs[0]
-    w = params[0]
+    w = params[0].astype(x.dtype)
     bias = (params[1] if node.attrs.get("bias_term", True)
             and len(params) > 1 else None)
     kh, kw, sh, sw, ph, pw, dil, group = _conv_hparams(node)
-    wf = jnp.flip(w.astype(x.dtype), axis=(0, 1))
-    y = jax.lax.conv_general_dilated(
-        x, wf,
-        window_strides=(1, 1),
-        padding=((dil * (kh - 1) - ph,) * 2, (dil * (kw - 1) - pw,) * 2),
-        lhs_dilation=(sh, sw),
-        rhs_dilation=(dil, dil),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=group,
-        preferred_element_type=jnp.float32,
-    )
+
+    y = None
+    if dil == 1 and (sh > 1 or sw > 1):
+        n, ih, iw, _ = x.shape
+        oh = sh * (ih - 1) + kh - 2 * ph
+        ow = sw * (iw - 1) + kw - 2 * pw
+        y = _deconv_subpixel(x, w, sh, sw, ph, pw, group, oh, ow)
+    if y is None:
+        wf = jnp.flip(w, axis=(0, 1))
+        y = jax.lax.conv_general_dilated(
+            x, wf,
+            window_strides=(1, 1),
+            padding=((dil * (kh - 1) - ph,) * 2,
+                     (dil * (kw - 1) - pw,) * 2),
+            lhs_dilation=(sh, sw),
+            rhs_dilation=(dil, dil),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=group,
+            preferred_element_type=jnp.float32,
+        )
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     y = apply_activation(y, node.attrs.get("activation"))

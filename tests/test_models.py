@@ -95,11 +95,12 @@ def test_deep_resnet_structure(name, blocks, rng):
     assert g.specs["fc1000"].shape == (1, 1000)
 
 
-def test_fcn32s_shapes():
-    """FCN-32s: the pad-100 / stride-32 deconv / offset-19 crop geometry
+def test_fcn_family_shapes():
+    """FCN-32s/16s/8s: the pad-100 / skip-crop / final-crop geometry
     returns exactly the input's spatial size for any input (shape-only —
-    the 224-size forward is TPU territory)."""
-    from feathercnn_tpu.models import fcn32s
-    for size in (224, 320):
-        g = fcn32s(batch=1, size=size, num_classes=21)
-        assert g.specs["prob"].shape == (1, size, size, 21)
+    the 224-size forwards are TPU territory)."""
+    from feathercnn_tpu.models import fcn8s, fcn16s, fcn32s
+    for fn in (fcn32s, fcn16s, fcn8s):
+        for size in (224, 320):
+            g = fn(batch=1, size=size, num_classes=21)
+            assert g.specs["prob"].shape == (1, size, size, 21), fn

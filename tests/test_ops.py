@@ -63,7 +63,12 @@ def test_deconv_vs_torch(rng):
     import torch
     for (cin, cout, k, s, p, g) in [(8, 6, 3, 1, 0, 1),
                                     (8, 6, 4, 2, 1, 1),
-                                    (8, 8, 3, 2, 1, 4)]:
+                                    (8, 8, 3, 2, 1, 4),
+                                    (4, 5, 8, 4, 0, 1),   # FCN-style k=2s
+                                    (4, 5, 6, 3, 2, 1),
+                                    (6, 4, 5, 2, 2, 2),
+                                    (3, 3, 16, 8, 4, 3),  # k=2s, big phase
+                                    (4, 4, 7, 3, 1, 1)]:  # k not mult of s
         x = rng.normal(size=(2, 5, 5, cin)).astype(np.float32)
         w = rng.normal(size=(k, k, cin // g, cout)).astype(np.float32)
         b = rng.normal(size=(cout,)).astype(np.float32)
