@@ -129,7 +129,10 @@ class EngineConfig:
             src = json.loads(src)
         d = dict(src)
         if "fp_act_layers" in d:
-            d["fp_act_layers"] = tuple(d["fp_act_layers"])
+            v = d["fp_act_layers"]
+            if isinstance(v, str):
+                v = (v,)
+            d["fp_act_layers"] = tuple(v or ())
         if isinstance(d.get("algo_overrides"), dict):
             d["algo_overrides"] = tuple(d["algo_overrides"].items())
         elif d.get("algo_overrides"):

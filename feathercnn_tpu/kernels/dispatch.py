@@ -105,6 +105,12 @@ def conv_forward(node, x, w, bias, ctx):
         algo = "xla"
     interpret = ctx.config.interpret
 
+    if x.dtype == jnp.int8 and (q is None or q.get("x_scale") is None):
+        # int8-transferred input into an fp-act layer (input_scale) or a
+        # stray int8 edge: dequantize ONCE here so every algo branch
+        # below sees float input (they key their int8 paths on x_scale)
+        x = _dequant_int8_edge(x, q, ctx)
+
     if algo == "depthwise":
         # The VPU kernel handles the MobileNet/Caffe case: group == C_in,
         # C_out == group (channel multiplier 1), square stride 1-2.
@@ -250,6 +256,8 @@ def conv_forward(node, x, w, bias, ctx):
 def fc_forward(node, x, w, bias, ctx):
     act = node.attrs.get("activation")
     q = ctx.qinfo(node)
+    if x.dtype == jnp.int8 and (q is None or q.get("x_scale") is None):
+        x = _dequant_int8_edge(x, q, ctx)
     kwargs = {}
     if q is not None and w.dtype == jnp.int8:
         kwargs["w_scale"] = q["w_scale"]

@@ -96,7 +96,7 @@ def _dequant_for_oracle(x, w, q, ctx):
     multiplying raw lattice values.  The quantized *compute* paths live
     in kernels/dispatch.py (backend="pallas")."""
     if x.dtype == jnp.int8:
-        xs = q.get("x_scale", 1.0) if q else 1.0
+        xs = (q.get("x_scale") or q.get("input_scale", 1.0)) if q else 1.0
         x = (x.astype(jnp.float32) * xs).astype(
             jnp.dtype(ctx.config.compute_dtype))
     if w.dtype == jnp.int8:
@@ -271,16 +271,24 @@ def _lower_deconv(node, inputs, params, ctx):
 @register_lowering("Crop")
 def _lower_crop(node, inputs, params, ctx):
     """Caffe Crop: slice bottom[0] to bottom[1]'s size on the listed
-    NHWC ``axes`` at the parallel ``offsets``."""
+    NHWC ``axes`` at the parallel ``offsets``.  Static bounds — invalid
+    geometry raises (dynamic_slice would silently clamp and return a
+    shifted window)."""
     x, ref = inputs
     axes = [d % x.ndim for d in node.attrs.get("axes", [1, 2])]
     offsets = list(node.attrs.get("offsets", [0]))
     starts = [0] * x.ndim
-    sizes = list(x.shape)
+    limits = list(x.shape)
     for i, d in enumerate(axes):
-        starts[d] = offsets[i] if i < len(offsets) else offsets[-1]
-        sizes[d] = ref.shape[d]
-    return [jax.lax.dynamic_slice(x, starts, sizes)]
+        off = offsets[i] if i < len(offsets) else offsets[-1]
+        if off + ref.shape[d] > x.shape[d]:
+            raise ValueError(
+                f"{node.name}: crop offset {off} + ref size "
+                f"{ref.shape[d]} exceeds input size {x.shape[d]} "
+                f"on axis {d}")
+        starts[d] = off
+        limits[d] = off + ref.shape[d]
+    return [jax.lax.slice(x, starts, limits)]
 
 
 @register_lowering("InnerProduct")

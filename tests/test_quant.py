@@ -368,3 +368,47 @@ def test_stem_auto_fp_activation(rng):
                  127).astype(np.int8)
     out_q = np.asarray(eng(xq))
     assert _cosine(ref, out_q) > 0.997
+
+
+def test_int8_input_into_fp_act_1x1_stem(rng):
+    """Regression (code review): an int8-transferred input into an
+    fp-act 1x1 stem must dequantize via input_scale on EVERY algo path
+    (the gemm1x1/implicit/fc branches used to consume raw lattice
+    values at scale 1.0)."""
+    b = GraphBuilder("stem1x1", seed=43)
+    x = b.input("data", (2, 8, 8, 4))
+    y = b.conv("stem", x, 16, 1, relu=True)   # 1x1, C_in=4 -> fp_auto
+    y = b.conv("mid", y, 16, 3, pad=1, relu=True)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 10)
+    g = b.finish([y])
+    xv = rng.normal(size=(2, 8, 8, 4)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    calibrate(g, [xv], method="max")
+    for algo in (None, "xla", "gemm1x1", "dot1x1"):
+        eng = Engine(g, EngineConfig(
+            backend="pallas", quant="w8a8", interpret=True,
+            algo_overrides=((("*", algo),) if algo else ())))
+        qm = eng.graph.meta["quant"]
+        assert "input_scale" in qm["stem"]
+        xq = np.clip(np.round(xv / qm["stem"]["input_scale"]), -127,
+                     127).astype(np.int8)
+        out = np.asarray(eng(xq))
+        assert _cosine(ref, out) > 0.99, f"algo={algo}"
+    # the xla ORACLE backend must dequantize via input_scale too
+    out = np.asarray(Engine(g, EngineConfig(quant="w8a8"))(xq))
+    assert _cosine(ref, out) > 0.99
+
+
+def test_crop_invalid_geometry_raises(rng):
+    """Crop with offset+ref beyond the input raises instead of silently
+    clamping to a shifted window."""
+    from feathercnn_tpu.models.builder import GraphBuilder as GB
+    b = GB("badcrop", seed=1)
+    x = b.input("data", (1, 10, 10, 4))
+    up = b.conv("c", x, 4, 3)                  # -> 8x8
+    out = b.crop("crop", x, up, axes=(1, 2), offsets=(5, 5))  # 5+8>10
+    g = b.finish([out])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="crop offset"):
+        Engine(g)(np.zeros((1, 10, 10, 4), np.float32))

@@ -222,6 +222,11 @@ class Converter:
         elif ltype == "Crop":
             p = layer.get("crop_param", {})
             ax = int(p.get("axis", 2))
+            if ax >= 2 ** 63:     # negative int32 on the proto2 wire
+                ax -= 2 ** 64
+            if ax < 0:            # Caffe canonical-axis semantics
+                ax += 4
+            ax = min(max(ax, 0), 3)
             # Caffe crops every NCHW dim >= axis; translate the dim SET
             # to NHWC indices (N,C,H,W -> 0,3,1,2), offsets stay aligned
             nchw_to_nhwc = {0: 0, 1: 3, 2: 1, 3: 2}
