@@ -84,6 +84,8 @@ BEST_BATCH = {
     "alexnet": 256,
     # FCN's pad-100 VGG backbone makes 422x422 maps — keep batch small
     "fcn32s": 16, "fcn16s": 16, "fcn8s": 16,
+    # DeepLab holds 321x321 maps at stride 8 through conv4/5 — small batch
+    "deeplab_largefov": 16,
 }
 
 

@@ -274,6 +274,31 @@ def _deconv_shape(node, in_specs, graph):
     return [TensorSpec((n, oh, ow, co), in_specs[0].dtype)]
 
 
+def _interp_out(size: int, attrs) -> int:
+    """Caffe InterpLayer (the DeepLab fork) output size: align-corners
+    semantics — zoom gives (in-1)*z+1, shrink gives (in-1)/s+1, applied
+    shrink-then-zoom when both are set (interp_layer.cpp Reshape)."""
+    if attrs.get("shrink_factor", 1) != 1:
+        size = (size - 1) // attrs["shrink_factor"] + 1
+    if attrs.get("zoom_factor", 1) != 1:
+        size = (size - 1) * attrs["zoom_factor"] + 1
+    return size
+
+
+@register_shape_fn("Interp")
+def _interp_shape(node, in_specs, graph):
+    (n, h, w, c) = in_specs[0].shape
+    a = node.attrs
+    # pad_beg/pad_end are <= 0 in the reference layer (negative = crop
+    # applied BEFORE the resize); the effective input size feeds the
+    # shrink/zoom formulas.
+    h += a.get("pad_beg", 0) + a.get("pad_end", 0)
+    w += a.get("pad_beg", 0) + a.get("pad_end", 0)
+    oh = a.get("height") or _interp_out(h, a)
+    ow = a.get("width") or _interp_out(w, a)
+    return [TensorSpec((n, int(oh), int(ow), c), in_specs[0].dtype)]
+
+
 @register_shape_fn("Crop")
 def _crop_shape(node, in_specs, graph):
     """Caffe Crop: crop bottom[0] to bottom[1]'s size on the listed NHWC

@@ -112,6 +112,13 @@ class GraphBuilder:
             out = self.relu(name + "/relu", out)
         return out
 
+    def interp(self, name: str, x: str, **attrs) -> str:
+        """Align-corners bilinear resize (DeepLab InterpLayer); attrs from
+        {height, width, zoom_factor, shrink_factor, pad_beg, pad_end}."""
+        out = self._add(Node(name, "Interp", [x], [name], dict(attrs)))[0]
+        self._channels[out] = self._channels[x]
+        return out
+
     def crop(self, name: str, x: str, ref: str,
              axes: Sequence[int] = (1, 2),
              offsets: Sequence[int] = (0,)) -> str:

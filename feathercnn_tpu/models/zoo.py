@@ -417,6 +417,37 @@ def fcn8s(batch: int = 1, seed: int = 0, num_classes: int = 21,
     return _fcn(8, batch, seed, num_classes, size, with_softmax)
 
 
+def deeplab_largefov(batch: int = 1, seed: int = 0, num_classes: int = 21,
+                     size: int = 321, with_softmax: bool = True) -> Graph:
+    """DeepLab-LargeFOV (v1/v2 VGG-16 variant; the public
+    test_val.prototxt): VGG-16 with DeepLab's 3x3/pad-1 pools, stride-1
+    pool4/pool5 (output stride 8), dilation-2 conv5 block, atrous
+    fc6 (3x3, dilation 12, 1024ch), and an align-corners Interp
+    zoom x8 back to input resolution.  Exercises dilated convs +
+    Interp in a real deploy shape."""
+    b = GraphBuilder("deeplab_largefov", seed)
+    data = b.input("data", (batch, size, size, 3))
+    x = data
+    for stage, n, ch, pstride in [(1, 2, 64, 2), (2, 2, 128, 2),
+                                  (3, 3, 256, 2), (4, 3, 512, 1),
+                                  (5, 3, 512, 1)]:
+        dil = 2 if stage == 5 else 1
+        for i in range(1, n + 1):
+            x = b.conv(f"conv{stage}_{i}", x, ch, 3, pad=dil,
+                       dilation=dil, relu=True)
+        x = b.pool(f"pool{stage}", x, 3, pstride, pad=1)
+    x = b.pool("pool5a", x, 3, 1, pad=1, mode="AVE")
+    x = b.conv("fc6", x, 1024, 3, pad=12, dilation=12, relu=True)
+    x = b.dropout("drop6", x)
+    x = b.conv("fc7", x, 1024, 1, relu=True)
+    x = b.dropout("drop7", x)
+    x = b.conv("fc8_voc12", x, num_classes, 1)
+    x = b.interp("fc8_interp", x, zoom_factor=8)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    return b.finish([x])
+
+
 MODEL_BUILDERS = {
     "squeezenet_v11": squeezenet_v11,
     "mobilenet_v1": mobilenet_v1,
@@ -431,6 +462,7 @@ MODEL_BUILDERS = {
     "fcn32s": fcn32s,
     "fcn16s": fcn16s,
     "fcn8s": fcn8s,
+    "deeplab_largefov": deeplab_largefov,
 }
 
 

@@ -268,6 +268,44 @@ def _lower_deconv(node, inputs, params, ctx):
     return [y.astype(x.dtype)]
 
 
+def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Align-corners bilinear interpolation as a dense (n_out, n_in)
+    matrix (Caffe InterpLayer semantics: src = i*(in-1)/(out-1))."""
+    A = np.zeros((n_out, n_in), np.float32)
+    if n_out == 1 or n_in == 1:
+        A[:, 0] = 1.0
+        return A
+    for i in range(n_out):
+        src = i * (n_in - 1) / (n_out - 1)
+        lo = min(int(np.floor(src)), n_in - 2)
+        frac = src - lo
+        A[i, lo] = 1.0 - frac
+        A[i, lo + 1] = frac
+    return A
+
+
+@register_lowering("Interp")
+def _lower_interp(node, inputs, params, ctx):
+    """Bilinear resize (DeepLab's InterpLayer) as TWO dense matmuls with
+    static interpolation matrices — rides the MXU instead of a gather."""
+    x = inputs[0]
+    pb = node.attrs.get("pad_beg", 0)
+    pe = node.attrs.get("pad_end", 0)
+    if pb or pe:  # negative pads = crop before the resize
+        x = x[:, -pb:x.shape[1] + pe, -pb:x.shape[2] + pe, :]
+    n, h, w, c = x.shape
+    spec = ctx.graph.specs[node.outputs[0]]
+    oh, ow = spec.shape[1], spec.shape[2]
+    xf = x.astype(jnp.float32)
+    if oh != h:
+        Ah = jnp.asarray(_interp_matrix(h, oh))
+        xf = jnp.einsum("oh,nhwc->nowc", Ah, xf)
+    if ow != w:
+        Aw = jnp.asarray(_interp_matrix(w, ow))
+        xf = jnp.einsum("ow,nhwc->nhoc", Aw, xf)
+    return [xf.astype(x.dtype)]
+
+
 @register_lowering("Crop")
 def _lower_crop(node, inputs, params, ctx):
     """Caffe Crop: slice bottom[0] to bottom[1]'s size on the listed

@@ -164,6 +164,33 @@ def test_v1_layer_normalization(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_interp_conversion_matches_torch(rng):
+    """DeepLab-style Interp (zoom_factor, negative pad on the wire)
+    through the binary round trip, vs torch align-corners bilinear."""
+    import torch.nn.functional as F
+    import torch
+
+    layers = [
+        {"name": "up", "type": "Interp", "bottom": ["data"],
+         "top": ["up"],
+         "interp_param": {"zoom_factor": 4, "pad_beg": -1 + 2 ** 64,
+                          "pad_end": -1 + 2 ** 64}},
+    ]
+    net = {"name": "interpmini", "input": ["data"],
+           "input_dim": [1, 3, 10, 10], "layer": layers}
+    raw = caffe_pb.encode(net, caffe_pb.NET_PARAMETER)
+    parsed = caffe_pb.parse_net(raw)
+    g = Converter(parsed, parsed).convert()
+
+    x_nchw = rng.normal(size=(1, 3, 10, 10)).astype(np.float32)
+    out = np.asarray(Engine(g)(np.transpose(x_nchw, (0, 2, 3, 1))))
+    # pads crop 10 -> 8, zoom 4 -> (8-1)*4+1 = 29
+    ref = F.interpolate(torch.from_numpy(x_nchw[:, :, 1:9, 1:9]),
+                        size=(29, 29), mode="bilinear", align_corners=True)
+    np.testing.assert_allclose(out, np.transpose(ref.numpy(), (0, 2, 3, 1)),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_deconv_crop_conversion_matches_torch(rng):
     """FCN-style Deconvolution (grouped, Caffe (Cin,Cout/g,KH,KW) blob)
     + Crop converted and checked against torch conv_transpose2d."""

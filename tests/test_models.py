@@ -95,6 +95,22 @@ def test_deep_resnet_structure(name, blocks, rng):
     assert g.specs["fc1000"].shape == (1, 1000)
 
 
+def test_deeplab_largefov_shapes_and_small_forward(rng):
+    """DeepLab-LargeFOV: output stride 8 + Interp zoom x8 returns the
+    input's spatial size (321 -> 41 -> 321); a small-size forward runs
+    the dilated-conv + Interp path end to end."""
+    from feathercnn_tpu.models import deeplab_largefov
+    g = deeplab_largefov(batch=1, size=321)
+    assert g.specs["prob"].shape == (1, 321, 321, 21)
+    g = deeplab_largefov(batch=1, size=65, seed=3)
+    assert g.specs["prob"].shape == (1, 65, 65, 21)
+    from feathercnn_tpu import Engine
+    x = rng.normal(size=(1, 65, 65, 3)).astype(np.float32)
+    y = np.asarray(Engine(g)(x))
+    assert y.shape == (1, 65, 65, 21)
+    np.testing.assert_allclose(y.sum(-1), 1.0, rtol=1e-4)
+
+
 def test_fcn_family_shapes():
     """FCN-32s/16s/8s: the pad-100 / skip-crop / final-crop geometry
     returns exactly the input's spatial size for any input (shape-only —

@@ -90,6 +90,60 @@ def test_deconv_vs_torch(rng):
         np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_interp_vs_torch_align_corners(rng):
+    """Interp (DeepLab InterpLayer) == torch bilinear align_corners=True,
+    up- and down-sampling, explicit sizes."""
+    import torch
+    for (h, w, oh, ow) in [(8, 8, 33, 33), (17, 13, 65, 49),
+                           (33, 33, 8, 8), (9, 9, 9, 9), (1, 5, 1, 9)]:
+        x = rng.normal(size=(2, h, w, 6)).astype(np.float32)
+        y = _run_single("Interp", {"height": oh, "width": ow}, x)
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+            size=(oh, ow), mode="bilinear", align_corners=True)
+        ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+        assert y.shape == ref.shape, (y.shape, ref.shape)
+        np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_interp_zoom_shrink_semantics(rng):
+    """Caffe factor semantics: zoom gives (in-1)*z+1 (align-corners
+    upsample where input pixels land exactly on output grid points);
+    shrink gives (in-1)/s+1 == strided subsample of the input."""
+    import torch
+    x = rng.normal(size=(1, 9, 9, 4)).astype(np.float32)
+    y = _run_single("Interp", {"zoom_factor": 4}, x)
+    assert y.shape == (1, 33, 33, 4)
+    # input pixels are reproduced exactly at stride-4 output positions
+    np.testing.assert_allclose(y[:, ::4, ::4, :], x, rtol=1e-6, atol=1e-6)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+        size=(33, 33), mode="bilinear", align_corners=True)
+    np.testing.assert_allclose(
+        y, np.transpose(ref.numpy(), (0, 2, 3, 1)), rtol=1e-5, atol=1e-5)
+
+    ys = _run_single("Interp", {"shrink_factor": 2}, x)
+    assert ys.shape == (1, 5, 5, 4)
+    # align-corners shrink of an odd size is an exact strided subsample
+    np.testing.assert_allclose(ys, x[:, ::2, ::2, :], rtol=1e-6, atol=1e-6)
+
+    # shrink-then-zoom composition (DeepLab v1 uses zoom only; the layer
+    # supports both set at once: (in-1)/s+1 then (.-1)*z+1)
+    yz = _run_single("Interp", {"shrink_factor": 2, "zoom_factor": 3}, x)
+    assert yz.shape == (1, 13, 13, 4)
+
+
+def test_interp_pad_crops_before_resize(rng):
+    """pad_beg/pad_end are <= 0 in the reference layer: a crop applied
+    BEFORE the resize."""
+    x = rng.normal(size=(1, 10, 10, 3)).astype(np.float32)
+    y = _run_single("Interp", {"pad_beg": -1, "pad_end": -1,
+                               "height": 15, "width": 15}, x)
+    ref = _run_single("Interp", {"height": 15, "width": 15},
+                      x[:, 1:9, 1:9, :])
+    np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)
+
+
 def test_crop_fcn_style(rng):
     """FCN pattern: deconv upsample then Crop to the encoder skip's
     spatial size (axes {H,W}, channels untouched)."""

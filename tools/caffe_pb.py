@@ -273,6 +273,14 @@ POWER_PARAM = {1: ("power", "float"), 2: ("scale", "float"),
 INPUT_PARAM = {1: ("shape", ("rep_msg", BLOB_SHAPE))}
 ELU_PARAM = {1: ("alpha", "float")}
 CROP_PARAM = {1: ("axis", "varint"), 2: ("offset", "packed_varint")}
+# DeepLab/PSPNet fork's InterpLayer. Inner field numbers are stable across
+# the forks; the LayerParameter slot varies by fork (166 = PSPNet's) —
+# deploy prototxts go through the TEXT parser, so the slot only matters
+# for synthetic binary round-trips.
+INTERP_PARAM = {1: ("height", "varint"), 2: ("width", "varint"),
+                3: ("zoom_factor", "varint"),
+                4: ("shrink_factor", "varint"),
+                5: ("pad_beg", "varint"), 6: ("pad_end", "varint")}
 
 LAYER_PARAMETER = {
     1: ("name", "string"),
@@ -299,6 +307,7 @@ LAYER_PARAMETER = {
     142: ("scale_param", ("msg", SCALE_PARAM)),
     143: ("input_param", ("msg", INPUT_PARAM)),
     144: ("crop_param", ("msg", CROP_PARAM)),
+    166: ("interp_param", ("msg", INTERP_PARAM)),
 }
 
 # Old-style (V1) layers: type is an enum, params use small field numbers.

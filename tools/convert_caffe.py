@@ -236,6 +236,22 @@ class Converter:
                      "offsets": [offs[i] if i < len(offs) else offs[-1]
                                  for i in range(len(dims))]}
             op = "Crop"
+        elif ltype == "Interp":
+            # DeepLab fork's InterpLayer (interp_layer.cpp): align-corners
+            # bilinear resize; exactly one of {height+width, zoom_factor,
+            # shrink_factor, both factors} is set; pad_beg/pad_end <= 0
+            # crop before the resize.
+            p = layer.get("interp_param", {})
+            attrs = {}
+            for k in ("height", "width", "zoom_factor", "shrink_factor",
+                      "pad_beg", "pad_end"):
+                if p.get(k) is None:
+                    continue
+                v = int(p[k])
+                if v >= 2 ** 63:      # negative int32 on the proto2 wire
+                    v -= 2 ** 64
+                attrs[k] = v
+            op = "Interp"
         elif ltype == "InnerProduct":
             p = layer.get("inner_product_param", {})
             attrs = {"num_output": int(p["num_output"]),
