@@ -66,6 +66,16 @@ class EngineConfig:
     # one HBM read of the shared input instead of one per sibling.
     merge_siblings: bool = True
 
+    # Horizontal fusion, Concat form: same-input convs feeding one channel
+    # Concat become ONE conv (smaller kernels zero-padded up to the
+    # group's max, Concat deleted) — passes.merge_concat_siblings.  The
+    # SqueezeNet fire expand1x1+expand3x3 case.  Default OFF: measured
+    # -8% paired on SqueezeNet int8 b128 (the only zoo model it fires on)
+    # — the 9x FLOPs on the promoted 1x1 branch cost more than the saved
+    # input read + Concat (bench/batch_sweep.py --variants
+    # no-merge_concats, 2026-08-18).
+    merge_concats: bool = False
+
     # w8a8: layer names whose input activations stay float (weights still
     # int8; the output still emits int8 when consumers agree).  The
     # classic use is the stem: at C_in=3 XLA's int8 conv is ~25% slower

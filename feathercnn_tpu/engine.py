@@ -51,7 +51,8 @@ class Engine:
         self.config = apply_baked_overrides(self.config, self.graph.meta)
         if optimize_graph:
             optimize(self.graph,
-                     merge_siblings=self.config.merge_siblings)
+                     merge_siblings=self.config.merge_siblings,
+                     merge_concats=self.config.merge_concats)
         if self.config.quant:
             from .quant.rewrite import quantize_graph
             quantize_graph(self.graph, self.config.quant,

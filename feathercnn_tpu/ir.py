@@ -389,6 +389,22 @@ def _slice_shape(node, in_specs, graph):
     return out
 
 
+@register_shape_fn("ArgMax")
+def _argmax_shape(node, in_specs, graph):
+    """Caffe ArgMaxLayer: with `axis`, that dim becomes top_k (indices,
+    or max values when out_max_val); without `axis`, per-image flatten ->
+    (N, 1, top_k) indices or (N, 2, top_k) [indices; values]."""
+    k = int(node.attrs.get("top_k", 1))
+    spec = in_specs[0]
+    if node.attrs.get("axis") is not None:
+        ax = node.attrs["axis"] % spec.rank
+        shape = list(spec.shape)
+        shape[ax] = k
+        return [TensorSpec(tuple(shape), "float32")]
+    rows = 2 if node.attrs.get("out_max_val") else 1
+    return [TensorSpec((spec.shape[0], rows, k), "float32")]
+
+
 @register_shape_fn("Flatten")
 def _flatten_shape(node, in_specs, graph):
     n = in_specs[0].shape[0]

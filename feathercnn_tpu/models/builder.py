@@ -112,6 +112,15 @@ class GraphBuilder:
             out = self.relu(name + "/relu", out)
         return out
 
+    def argmax(self, name: str, x: str, axis: int = -1, top_k: int = 1,
+               out_max_val: bool = False) -> str:
+        attrs = {"top_k": top_k, "out_max_val": out_max_val}
+        if axis is not None:
+            attrs["axis"] = axis
+        out = self._add(Node(name, "ArgMax", [x], [name], attrs))[0]
+        self._channels[out] = top_k if axis is not None else 1
+        return out
+
     def interp(self, name: str, x: str, **attrs) -> str:
         """Align-corners bilinear resize (DeepLab InterpLayer); attrs from
         {height, width, zoom_factor, shrink_factor, pad_beg, pad_end}."""

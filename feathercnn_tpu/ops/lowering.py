@@ -306,6 +306,38 @@ def _lower_interp(node, inputs, params, ctx):
     return [xf.astype(x.dtype)]
 
 
+@register_lowering("ArgMax")
+def _lower_argmax(node, inputs, params, ctx):
+    """Caffe ArgMaxLayer.  With `axis`: that dim -> top_k indices (or max
+    values under out_max_val).  Without `axis`: per-image flatten in
+    Caffe's NCHW order -> (N, 1|2, top_k).  Indices are emitted as f32 —
+    Caffe blobs are float, and segmentation consumers treat them as
+    labels."""
+    x = inputs[0].astype(jnp.float32)
+    k = int(node.attrs.get("top_k", 1))
+    out_max_val = bool(node.attrs.get("out_max_val"))
+    axis = node.attrs.get("axis")
+    if axis is not None:
+        ax = axis % x.ndim
+        if k == 1:
+            val = jnp.max(x, axis=ax, keepdims=True)
+            idx = jnp.argmax(x, axis=ax, keepdims=True).astype(jnp.float32)
+        else:
+            xm = jnp.moveaxis(x, ax, -1)
+            val, idx = jax.lax.top_k(xm, k)
+            val = jnp.moveaxis(val, -1, ax)
+            idx = jnp.moveaxis(idx.astype(jnp.float32), -1, ax)
+        return [val if out_max_val else idx]
+    if x.ndim == 4:   # flatten in NCHW order to match Caffe's flat index
+        x = jnp.transpose(x, (0, 3, 1, 2))
+    x = x.reshape(x.shape[0], -1)
+    val, idx = jax.lax.top_k(x, k)
+    idx = idx.astype(jnp.float32)
+    if out_max_val:
+        return [jnp.stack([idx, val], axis=1)]
+    return [idx[:, None, :]]
+
+
 @register_lowering("Crop")
 def _lower_crop(node, inputs, params, ctx):
     """Caffe Crop: slice bottom[0] to bottom[1]'s size on the listed

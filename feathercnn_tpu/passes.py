@@ -33,6 +33,7 @@ __all__ = [
     "fold_batchnorm",
     "fold_scale",
     "fuse_activation",
+    "merge_concat_siblings",
     "merge_sibling_convs",
     "dce",
 ]
@@ -44,11 +45,16 @@ _FOLDABLE = {"Convolution", "InnerProduct"}
 _EPILOGUE_OPS = {"Convolution", "InnerProduct", "Eltwise", "Scale"}
 
 
-def optimize(graph: Graph, merge_siblings: bool = True) -> Graph:
+def optimize(graph: Graph, merge_siblings: bool = True,
+             merge_concats: bool = False) -> Graph:
     drop_identities(graph)
     fold_batchnorm(graph)
     fold_scale(graph)
     fuse_activation(graph)
+    if merge_concats:
+        # before merge_sibling_convs: concat-feeding sibling groups get
+        # the stronger transform (no Slice, Concat deleted)
+        merge_concat_siblings(graph)
     if merge_siblings:
         merge_sibling_convs(graph)
     dce(graph)
@@ -231,6 +237,135 @@ def _aligned_sibling_order(sibs: List[Node], lane_align: int
                 if all(p % lane_align == 0 for p in np.cumsum(cs)[:-1]):
                     return [sibs[i] for i in perm]
     return None
+
+
+def merge_concat_siblings(graph: Graph, max_kernel: int = 3) -> int:
+    """Horizontal fusion, Concat-consumer form: convs that read the SAME
+    input and whose outputs feed ONE channel Concat (each with no other
+    consumer) merge into a single conv producing the concatenated channels
+    directly — the Concat node is DELETED, not replaced by a Slice.
+
+    Unlike ``merge_sibling_convs`` the kernels may differ: a smaller
+    kernel is promoted to the group's max by zero-padding the weight
+    (1x1 -> center tap of a 3x3) and growing the conv pad to keep the
+    output grid identical — exact, since the extra taps carry zero
+    weights.  The MXU makes the added multiplies free wherever the layer
+    is bandwidth-bound; ``max_kernel`` bounds the promotion (default 3,
+    the SqueezeNet fire expand1x1+expand3x3 case — 5x5 promotions grow
+    FLOPs 25x on the 1x1 branch, unmeasured).
+
+    The reference has no analog (vertical fusion only, [pub] src/net.cpp
+    TryFuse).  Exactness: output == concat(conv_i(x)) bit-for-bit in f32;
+    under w8a8 the merged output carries the concat's calibrated scale —
+    the same scale the consumers already saw.  Returns merges performed.
+    """
+    consumers = graph.consumers()
+    producers = graph.producers()
+
+    def _geom_ok(sibs: List[Node]):
+        """Target (Kh, Kw, Ph, Pw) if the group can promote, else None."""
+        kh = max(s.attrs.get("kernel_h", s.attrs.get("kernel_size", 1))
+                 for s in sibs)
+        kw = max(s.attrs.get("kernel_w", s.attrs.get("kernel_size", 1))
+                 for s in sibs)
+        if kh > max_kernel or kw > max_kernel:
+            return None
+        target_pad = None
+        for s in sibs:
+            skh, skw, _, _, sph, spw, dil = _conv_geom(s)
+            if (kh - skh) % 2 or (kw - skw) % 2:
+                return None
+            p = (sph + dil * (kh - skh) // 2, spw + dil * (kw - skw) // 2)
+            if target_pad is None:
+                target_pad = p
+            elif target_pad != p:
+                return None
+        return (kh, kw) + target_pad
+
+    n_merged = 0
+    remove: set = set()
+    replace: Dict[str, Node] = {}   # concat name -> merged conv node
+    for cat in graph.nodes:
+        if cat.op != "Concat" or cat.attrs.get("axis", -1) not in (-1, 3):
+            continue
+        if len(set(cat.inputs)) != len(cat.inputs):
+            continue
+        sibs = [producers.get(v) for v in cat.inputs]
+        if any(s is None or s.op != "Convolution"
+               or s.attrs.get("group", 1) != 1
+               or not s.params
+               or graph.params[s.params[0]].dtype != np.float32
+               or s.attrs.get("activation") not in (None, "relu", "relu6")
+               or s.outputs[0] in graph.outputs
+               or len(consumers.get(s.outputs[0], [])) != 1
+               or s.name in remove
+               for s in sibs):
+            continue
+        inp = sibs[0].inputs[0]
+        if any(s.inputs[0] != inp for s in sibs):
+            continue
+        strides = {(_conv_geom(s)[2], _conv_geom(s)[3]) for s in sibs}
+        dils = {_conv_geom(s)[6] for s in sibs}
+        if len(strides) != 1 or len(dils) != 1:
+            continue
+        geom = _geom_ok(sibs)
+        if geom is None:
+            continue
+        kh, kw, ph, pw = geom
+
+        co = [s.attrs["num_output"] for s in sibs]
+        ws = []
+        for s in sibs:
+            w = graph.params[s.params[0]]
+            skh, skw = w.shape[0], w.shape[1]
+            wp = np.zeros((kh, kw) + w.shape[2:], w.dtype)
+            oh, ow = (kh - skh) // 2, (kw - skw) // 2
+            wp[oh:oh + skh, ow:ow + skw] = w
+            ws.append(wp)
+        w_m = np.concatenate(ws, axis=-1)
+
+        sh, sw = next(iter(strides))
+        attrs = {"num_output": int(sum(co)), "kernel_h": kh, "kernel_w": kw,
+                 "stride_h": sh, "stride_w": sw, "pad_h": ph, "pad_w": pw,
+                 "dilation": next(iter(dils)), "group": 1}
+        acts = [s.attrs.get("activation") for s in sibs]
+        if len(set(acts)) == 1:
+            if acts[0] is not None:
+                attrs["activation"] = acts[0]
+        else:
+            attrs["act_segments"] = tuple(zip(acts, co))
+
+        mname = "+".join(s.name for s in sibs)
+        params = [mname + "/w"]
+        graph.params[mname + "/w"] = w_m
+        has_bias = any(s.attrs.get("bias_term", True) and len(s.params) > 1
+                       for s in sibs)
+        attrs["bias_term"] = has_bias
+        if has_bias:
+            biases = [graph.params[s.params[1]].astype(np.float32)
+                      if s.attrs.get("bias_term", True) and len(s.params) > 1
+                      else np.zeros(s.attrs["num_output"], np.float32)
+                      for s in sibs]
+            graph.params[mname + "/b"] = np.concatenate(biases)
+            params.append(mname + "/b")
+
+        replace[cat.name] = Node(name=mname, op="Convolution",
+                                 inputs=[inp], outputs=list(cat.outputs),
+                                 attrs=attrs, params=params)
+        remove.update(s.name for s in sibs)
+        remove.add(cat.name)
+        n_merged += 1
+
+    if not n_merged:
+        return 0
+    out_nodes: List[Node] = []
+    for n in graph.nodes:
+        if n.name in replace:
+            out_nodes.append(replace[n.name])
+        elif n.name not in remove:
+            out_nodes.append(n)
+    graph.nodes = out_nodes
+    return n_merged
 
 
 def merge_sibling_convs(graph: Graph, lane_align: int = 128) -> int:

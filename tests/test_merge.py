@@ -137,3 +137,90 @@ def test_merge_skips_concat_consumers_under_quant(rng):
                             EngineConfig(merge_siblings=False))(x))
     out = np.asarray(eng(x))
     assert _cosine(ref, out) > 0.995
+
+
+def _fire(seed=11, batch=2, cin=24, s=8, e1=16, e3=16):
+    """SqueezeNet fire module: expand1x1 + expand3x3 read the squeeze
+    output; their outputs feed one channel Concat."""
+    b = GraphBuilder("fire", seed)
+    x = b.input("data", (batch, 8, 8, cin))
+    sq = b.conv("squeeze", x, s, 1, relu=True)
+    a = b.conv("expand1", sq, e1, 1, relu=True)
+    c = b.conv("expand3", sq, e3, 3, pad=1, relu=True)
+    cat = b.concat("cat", [a, c])
+    out = b.conv("head", cat, 16, 1, relu=True)
+    return b.finish([out])
+
+
+def test_merge_concat_fire_fp_exact(rng):
+    """expand1x1 promotes to a zero-padded 3x3 and merges with expand3x3;
+    the Concat disappears; numerics are exact."""
+    from feathercnn_tpu.passes import merge_concat_siblings
+    x = rng.normal(size=(2, 8, 8, 24)).astype(np.float32)
+    ref = np.asarray(Engine(_fire(), EngineConfig(merge_concats=False,
+                                                  merge_siblings=False))(x))
+    eng = Engine(_fire(), EngineConfig(merge_concats=True))
+    assert not any(n.op == "Concat" for n in eng.graph.nodes)
+    mconv = next(n for n in eng.graph.nodes
+                 if n.op == "Convolution" and "+" in n.name)
+    assert (mconv.attrs["kernel_h"], mconv.attrs["pad_h"]) == (3, 1)
+    assert mconv.attrs["num_output"] == 32
+    assert mconv.attrs.get("activation") == "relu"
+    out = np.asarray(eng(x))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_merge_concat_geometry_gates(rng):
+    """Odd promotions are gated: k5 exceeds max_kernel (default 3) -> no
+    merge; stride-2 pairs with compatible pads do merge exactly."""
+    from feathercnn_tpu.passes import merge_concat_siblings
+
+    b = GraphBuilder("g5", 3)
+    x = b.input("data", (1, 9, 9, 8))
+    a = b.conv("a", x, 4, 1, relu=True)
+    c = b.conv("c", x, 4, 5, pad=2, relu=True)
+    cat = b.concat("cat", [a, c])
+    g = b.finish([cat])
+    assert merge_concat_siblings(g) == 0
+
+    b = GraphBuilder("s2", 4)
+    x = b.input("data", (1, 9, 9, 8))
+    a = b.conv("a", x, 4, 1, stride=2, relu=True)
+    c = b.conv("c", x, 4, 3, stride=2, pad=1, relu=True)
+    cat = b.concat("cat", [a, c])
+    out = b.conv("head", cat, 8, 1)
+    g = b.finish([out])
+    xv = rng.normal(size=(1, 9, 9, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g, EngineConfig(merge_concats=False,
+                                            merge_siblings=False))(xv))
+    eng = Engine(g, EngineConfig(merge_concats=True))
+    assert not any(n.op == "Concat" for n in eng.graph.nodes)
+    np.testing.assert_allclose(np.asarray(eng(xv)), ref,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_merge_concat_int8(rng):
+    """w8a8 fire module: merged conv takes the concat's calibrated output
+    scale; accuracy holds vs the unmerged fp oracle."""
+    g = _fire()
+    x = rng.normal(size=(2, 8, 8, 24)).astype(np.float32)
+    ref = np.asarray(Engine(_fire(), EngineConfig(merge_concats=False,
+                                                  merge_siblings=False))(x))
+    calibrate(g, [x], method="max")
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 interpret=True, merge_concats=True,
+                                 algo_overrides=(("*", "xla"),)))
+    assert not any(n.op == "Concat" for n in eng.graph.nodes)
+    out = np.asarray(eng(x))
+    assert _cosine(ref, out) > 0.995
+
+
+def test_merge_concat_counts_squeezenet():
+    """Opt-in (default OFF — measured -8% paired on v5e int8, the
+    promoted-1x1 FLOPs cost more than the saved reads; see config.py)."""
+    from feathercnn_tpu.models import squeezenet_v11
+    g = squeezenet_v11(batch=1, with_softmax=False)
+    optimize(g, merge_concats=True)
+    merges = [n for n in g.nodes if n.op == "Convolution" and "+" in n.name]
+    assert len(merges) == 8          # all 8 fire modules
+    assert not any(n.op == "Concat" for n in g.nodes)

@@ -161,3 +161,32 @@ def test_crop_fcn_style(rng):
     assert y.shape == (1, 14, 14, 4)   # H,W cropped; C kept
     full = np.asarray(eng.run(xv, extract=["up"])["up"])
     np.testing.assert_allclose(y, full[:, 2:16, 2:16, :], atol=0)
+
+
+def test_argmax_axis_vs_torch(rng):
+    """ArgMax with axis (segmentation label map) and top_k, vs torch."""
+    import torch
+    x = rng.normal(size=(2, 5, 5, 11)).astype(np.float32)
+    y = _run_single("ArgMax", {"axis": -1}, x)
+    ref = np.argmax(x, axis=-1)[..., None].astype(np.float32)
+    np.testing.assert_array_equal(y, ref)
+    # top_k=3 indices over channels
+    y3 = _run_single("ArgMax", {"axis": -1, "top_k": 3}, x)
+    ref3 = torch.topk(torch.from_numpy(x), 3, dim=-1).indices.numpy()
+    np.testing.assert_array_equal(y3, ref3.astype(np.float32))
+    # out_max_val with axis -> max values
+    ymax = _run_single("ArgMax", {"axis": -1, "out_max_val": True}, x)
+    np.testing.assert_allclose(ymax, x.max(-1, keepdims=True))
+
+
+def test_argmax_flat_caffe_order(rng):
+    """Axis-less ArgMax flattens per image in Caffe's NCHW order: the
+    flat index must equal argmax over the NCHW-transposed tensor."""
+    x = rng.normal(size=(3, 4, 5, 6)).astype(np.float32)
+    y = _run_single("ArgMax", {"top_k": 2, "out_max_val": True}, x)
+    assert y.shape == (3, 2, 2)
+    flat = np.transpose(x, (0, 3, 1, 2)).reshape(3, -1)
+    order = np.argsort(-flat, axis=1)[:, :2]
+    np.testing.assert_array_equal(y[:, 0, :], order.astype(np.float32))
+    np.testing.assert_allclose(y[:, 1, :],
+                               np.take_along_axis(flat, order, 1))

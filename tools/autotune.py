@@ -181,7 +181,8 @@ def tune_regions(graph, dtype: str, quant, iters: int = 15):
     return decisions
 
 
-_TUNABLE_FLAGS = ("merge_siblings", "int8_grouped", "int8_requant_ops")
+_TUNABLE_FLAGS = ("merge_siblings", "merge_concats", "int8_grouped",
+                  "int8_requant_ops")
 
 
 def tune_flags(graph, dtype: str, quant, rounds: int = 5, iters: int = 20,

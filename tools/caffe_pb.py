@@ -273,6 +273,8 @@ POWER_PARAM = {1: ("power", "float"), 2: ("scale", "float"),
 INPUT_PARAM = {1: ("shape", ("rep_msg", BLOB_SHAPE))}
 ELU_PARAM = {1: ("alpha", "float")}
 CROP_PARAM = {1: ("axis", "varint"), 2: ("offset", "packed_varint")}
+ARGMAX_PARAM = {1: ("out_max_val", "bool"), 2: ("top_k", "varint"),
+                3: ("axis", "varint")}
 # DeepLab/PSPNet fork's InterpLayer. Inner field numbers are stable across
 # the forks; the LayerParameter slot varies by fork (166 = PSPNet's) —
 # deploy prototxts go through the TEXT parser, so the slot only matters
@@ -306,6 +308,7 @@ LAYER_PARAMETER = {
     140: ("elu_param", ("msg", ELU_PARAM)),
     142: ("scale_param", ("msg", SCALE_PARAM)),
     143: ("input_param", ("msg", INPUT_PARAM)),
+    103: ("argmax_param", ("msg", ARGMAX_PARAM)),
     144: ("crop_param", ("msg", CROP_PARAM)),
     166: ("interp_param", ("msg", INTERP_PARAM)),
 }

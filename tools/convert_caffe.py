@@ -338,6 +338,18 @@ class Converter:
                      "beta": float(p.get("beta", 0.75)),
                      "k": float(p.get("k", 1.0))}
             op = "LRN"
+        elif ltype == "ArgMax":
+            p = layer.get("argmax_param", {})
+            attrs = {"top_k": int(p.get("top_k", 1)),
+                     "out_max_val": bool(p.get("out_max_val", False))}
+            if p.get("axis") is not None:
+                ax = int(p["axis"])
+                if ax >= 2 ** 63:  # negative int32 on the proto2 wire
+                    ax -= 2 ** 64
+                if ax < 0:
+                    ax += 4
+                attrs["axis"] = {0: 0, 1: -1, 2: 1, 3: 2}.get(ax, -1)
+            op = "ArgMax"
         elif ltype == "Dropout":
             op = "Dropout"
         elif ltype == "Softmax":
