@@ -86,6 +86,8 @@ BEST_BATCH = {
     "fcn32s": 16, "fcn16s": 16, "fcn8s": 16,
     # DeepLab holds 321x321 maps at stride 8 through conv4/5 — small batch
     "deeplab_largefov": 16,
+    # PSPNet-50 at 473x473: ~0.5 TFLOP/img dilated backbone
+    "pspnet50": 4,
 }
 
 

@@ -417,6 +417,73 @@ def fcn8s(batch: int = 1, seed: int = 0, num_classes: int = 21,
     return _fcn(8, batch, seed, num_classes, size, with_softmax)
 
 
+def pspnet50(batch: int = 1, seed: int = 0, num_classes: int = 150,
+             size: int = 473, with_softmax: bool = True) -> Graph:
+    """PSPNet-50 (the public pspnet50_ADE20K deploy structure): dilated
+    ResNet-50 backbone (three-3x3 stem, stride-1 dilation-2/4 stages 4-5,
+    output stride 8) + Pyramid Pooling Module (AVE-pool bins {1,2,3,6},
+    1x1 conv+BN+ReLU per bin, align-corners Interp back to feature size,
+    Concat), 3x3 fusion conv, and Interp zoom x8 to input resolution.
+    ``size`` must satisfy (size-1) % 8 == 0 with the stride-8 feature
+    divisible by 6 (473 -> 60, 233 -> 30, 89 -> 12)."""
+    b = GraphBuilder("pspnet50", seed)
+
+    def conv_bn(name, x, ch, kernel, stride=1, pad=0, dilation=1,
+                relu=True):
+        x = b.conv(name, x, ch, kernel, stride, pad, dilation=dilation,
+                   bias=False)
+        x = b.bn_scale(name + "/bn", x)
+        if relu:
+            x = b.relu(name + "/relu", x)
+        return x
+
+    def bottleneck(name, x, ch, stride=1, dilation=1, project=False):
+        shortcut = x
+        if project:
+            shortcut = conv_bn(name + "_branch1", x, ch * 4, 1,
+                               stride=stride, relu=False)
+        y = conv_bn(name + "_branch2a", x, ch, 1, stride=stride)
+        y = conv_bn(name + "_branch2b", y, ch, 3, pad=dilation,
+                    dilation=dilation)
+        y = conv_bn(name + "_branch2c", y, ch * 4, 1, relu=False)
+        out = b.eltwise(name, [shortcut, y])
+        return b.relu(name + "_relu", out)
+
+    data = b.input("data", (batch, size, size, 3))
+    x = conv_bn("conv1_1_3x3_s2", data, 64, 3, stride=2, pad=1)
+    x = conv_bn("conv1_2_3x3", x, 64, 3, pad=1)
+    x = conv_bn("conv1_3_3x3", x, 128, 3, pad=1)
+    x = b.pool("pool1", x, 3, 2, pad=1)
+    for stage, ch, blocks, stride, dil in [(2, 64, 3, 1, 1),
+                                           (3, 128, 4, 2, 1),
+                                           (4, 256, 6, 1, 2),
+                                           (5, 512, 3, 1, 4)]:
+        for i in range(blocks):
+            x = bottleneck(f"conv{stage}_{i + 1}", x, ch,
+                           stride=stride if i == 0 else 1,
+                           dilation=dil, project=(i == 0))
+    feat = (size - 1) // 8 + 1
+    if feat % 6:
+        raise ValueError(f"size {size}: stride-8 feature {feat} "
+                         "not divisible by the {1,2,3,6} pyramid bins")
+    branches = [x]
+    for bin_ in (1, 2, 3, 6):
+        k = feat // bin_
+        p = b.pool(f"pool{bin_}x{bin_}", x, k, stride=k, mode="AVE")
+        p = conv_bn(f"pool{bin_}x{bin_}_conv", p, 512, 1)
+        p = b.interp(f"pool{bin_}x{bin_}_interp", p,
+                     height=feat, width=feat)
+        branches.append(p)
+    x = b.concat("ppm_concat", branches)
+    x = conv_bn("conv5_4", x, 512, 3, pad=1)
+    x = b.dropout("conv5_4_dropout", x)
+    x = b.conv("conv6", x, num_classes, 1)
+    x = b.interp("conv6_interp", x, zoom_factor=8)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    return b.finish([x])
+
+
 def deeplab_largefov(batch: int = 1, seed: int = 0, num_classes: int = 21,
                      size: int = 321, with_softmax: bool = True) -> Graph:
     """DeepLab-LargeFOV (v1/v2 VGG-16 variant; the public
@@ -463,6 +530,7 @@ MODEL_BUILDERS = {
     "fcn16s": fcn16s,
     "fcn8s": fcn8s,
     "deeplab_largefov": deeplab_largefov,
+    "pspnet50": pspnet50,
 }
 
 

@@ -111,6 +111,25 @@ def test_deeplab_largefov_shapes_and_small_forward(rng):
     np.testing.assert_allclose(y.sum(-1), 1.0, rtol=1e-4)
 
 
+def test_pspnet_shapes_and_small_forward(rng):
+    """PSPNet-50: stride-8 dilated backbone + pyramid pooling; Interp
+    returns the input's spatial size; a small forward runs the
+    AVE-bin + Interp + Concat composition end to end."""
+    from feathercnn_tpu.models import pspnet50
+    g = pspnet50(batch=1, size=473)
+    assert g.specs["prob"].shape == (1, 473, 473, 150)
+    # pyramid bins at feature 60: 1x1 / 2x2 / 3x3 / 6x6
+    for bin_ in (1, 2, 3, 6):
+        assert g.specs[f"pool{bin_}x{bin_}"].shape[1:3] == (bin_, bin_)
+    assert g.specs["ppm_concat"].shape[-1] == 2048 + 4 * 512
+    from feathercnn_tpu import Engine
+    g = pspnet50(batch=1, size=89, num_classes=5, seed=2)
+    x = rng.normal(size=(1, 89, 89, 3)).astype(np.float32)
+    y = np.asarray(Engine(g)(x))
+    assert y.shape == (1, 89, 89, 5)
+    np.testing.assert_allclose(y.sum(-1), 1.0, rtol=1e-4)
+
+
 def test_fcn_family_shapes():
     """FCN-32s/16s/8s: the pad-100 / skip-crop / final-crop geometry
     returns exactly the input's spatial size for any input (shape-only —
