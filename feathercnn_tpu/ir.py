@@ -299,6 +299,58 @@ def _interp_shape(node, in_specs, graph):
     return [TensorSpec((n, int(oh), int(ow), c), in_specs[0].dtype)]
 
 
+def _priorbox_count(node) -> int:
+    """Priors per feature-map cell (Caffe PriorBoxLayer Reshape):
+    one per min_size, one sqrt(min*max) per max_size, plus one per extra
+    aspect ratio (x2 when flipped) per min_size."""
+    a = node.attrs
+    n_min = len(a.get("min_sizes", []))
+    n_max = len(a.get("max_sizes", []))
+    ars = [r for r in a.get("aspect_ratios", []) if abs(r - 1.0) > 1e-6]
+    per_ar = 2 if a.get("flip", True) else 1
+    return n_min * (1 + per_ar * len(ars)) + n_max
+
+
+@register_shape_fn("PriorBox")
+def _priorbox_shape(node, in_specs, graph):
+    """(1, 2, H*W*num_priors*4): row 0 = boxes, row 1 = variances
+    (Caffe ssd PriorBoxLayer top shape)."""
+    (_, h, w, _) = in_specs[0].shape
+    return [TensorSpec((1, 2, h * w * _priorbox_count(node) * 4),
+                       "float32")]
+
+
+@register_shape_fn("Permute")
+def _permute_shape(node, in_specs, graph):
+    """Caffe ssd PermuteLayer.  Only order (0,2,3,1) is supported — the
+    SSD head pattern NCHW->NHWC, which is the IDENTITY in this IR's NHWC
+    storage; after it the value is treated as a literal tensor (Flatten
+    then reads it in Caffe's post-permute order for free)."""
+    order = tuple(node.attrs.get("order", (0, 1, 2, 3)))
+    if order == (0, 1, 2, 3):
+        return [in_specs[0]]
+    if order != (0, 2, 3, 1):
+        raise NotImplementedError(
+            f"{node.name}: Permute order {order} (only the SSD NCHW->NHWC "
+            "pattern (0,2,3,1) is supported)")
+    return [in_specs[0]]
+
+
+@register_shape_fn("Normalize")
+def _normalize_shape(node, in_specs, graph):
+    return [in_specs[0]]
+
+
+@register_shape_fn("DetectionOutput")
+def _detection_output_shape(node, in_specs, graph):
+    """Fixed-shape variant of Caffe ssd DetectionOutputLayer: the
+    reference emits a ragged (1, 1, num_det, 7); static XLA shapes make
+    it (N, keep_top_k, 7) padded with label -1 rows."""
+    n = in_specs[0].shape[0]
+    keep = int(node.attrs.get("keep_top_k", 200))
+    return [TensorSpec((n, keep, 7), "float32")]
+
+
 @register_shape_fn("Crop")
 def _crop_shape(node, in_specs, graph):
     """Caffe Crop: crop bottom[0] to bottom[1]'s size on the listed NHWC
@@ -414,6 +466,10 @@ def _flatten_shape(node, in_specs, graph):
 @register_shape_fn("Reshape")
 def _reshape_shape(node, in_specs, graph):
     shape = list(node.attrs["shape"])
+    # Caffe ReshapeLayer: dim 0 copies the input dim at the same index
+    for i, d in enumerate(shape):
+        if d == 0:
+            shape[i] = in_specs[0].shape[i]
     size = in_specs[0].size
     if -1 in shape:
         idx = shape.index(-1)

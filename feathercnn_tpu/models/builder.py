@@ -112,6 +112,69 @@ class GraphBuilder:
             out = self.relu(name + "/relu", out)
         return out
 
+    def normalize(self, name: str, x: str,
+                  across_spatial: bool = False,
+                  channel_shared: bool = False,
+                  init_scale: float = 1.0) -> str:
+        """SSD NormalizeLayer: channel L2 + learned scale."""
+        c = 1 if channel_shared else self._channels[x]
+        pname = name + "/scale"
+        self.graph.params[pname] = np.full((c,), init_scale, np.float32)
+        out = self._add(Node(name, "Normalize", [x], [name],
+                             {"across_spatial": across_spatial,
+                              "channel_shared": channel_shared},
+                             [pname]))[0]
+        self._channels[out] = self._channels[x]
+        return out
+
+    def priorbox(self, name: str, feat: str, data: str,
+                 min_sizes, max_sizes=(), aspect_ratios=(),
+                 flip: bool = True, clip: bool = False,
+                 variances=(0.1, 0.1, 0.2, 0.2), step: float = 0,
+                 offset: float = 0.5) -> str:
+        attrs = {"min_sizes": list(min_sizes),
+                 "max_sizes": list(max_sizes),
+                 "aspect_ratios": list(aspect_ratios), "flip": flip,
+                 "clip": clip, "variances": list(variances),
+                 "offset": offset}
+        if step:
+            attrs["step"] = step
+        out = self._add(Node(name, "PriorBox", [feat, data], [name],
+                             attrs))[0]
+        self._channels[out] = 2
+        return out
+
+    def permute(self, name: str, x: str, order=(0, 2, 3, 1)) -> str:
+        """SSD PermuteLayer; only the NCHW->NHWC head pattern (identity in
+        this IR's NHWC storage) is supported — see ir._permute_shape."""
+        out = self._add(Node(name, "Permute", [x], [name],
+                             {"order": tuple(order)}))[0]
+        self._channels[out] = self._channels[x]
+        return out
+
+    def reshape(self, name: str, x: str, shape) -> str:
+        out = self._add(Node(name, "Reshape", [x], [name],
+                             {"shape": list(shape)}))[0]
+        self._channels[out] = shape[-1] if shape[-1] > 0 \
+            else self._channels.get(x, 0)
+        return out
+
+    def detection_output(self, name: str, loc: str, conf: str,
+                         priors: str, num_classes: int,
+                         nms_threshold: float = 0.45,
+                         nms_top_k: int = 400, keep_top_k: int = 200,
+                         confidence_threshold: float = 0.01,
+                         background_label_id: int = 0) -> str:
+        out = self._add(Node(
+            name, "DetectionOutput", [loc, conf, priors], [name],
+            {"num_classes": num_classes, "share_location": True,
+             "background_label_id": background_label_id,
+             "nms_threshold": nms_threshold, "nms_top_k": nms_top_k,
+             "keep_top_k": keep_top_k,
+             "confidence_threshold": confidence_threshold}))[0]
+        self._channels[out] = 7
+        return out
+
     def argmax(self, name: str, x: str, axis: int = -1, top_k: int = 1,
                out_max_val: bool = False) -> str:
         attrs = {"top_k": top_k, "out_max_val": out_max_val}

@@ -14,7 +14,8 @@ from .builder import GraphBuilder
 
 __all__ = ["squeezenet_v11", "mobilenet_v1", "vgg16", "resnet50",
            "resnet101", "resnet152", "googlenet", "densenet121",
-           "resnext50", "alexnet", "fcn32s", "fcn16s", "fcn8s", "build_model",
+           "resnext50", "alexnet", "fcn32s", "fcn16s", "fcn8s",
+           "mobilenet_ssd", "vgg16_ssd300", "build_model",
            "MODEL_BUILDERS"]
 
 
@@ -515,6 +516,144 @@ def deeplab_largefov(batch: int = 1, seed: int = 0, num_classes: int = 21,
     return b.finish([x])
 
 
+def _ssd_head(b: GraphBuilder, data: str, sources, num_classes: int,
+              keep_top_k: int = 100, nms_top_k: int = 400,
+              confidence_threshold: float = 0.01,
+              nms_threshold: float = 0.45) -> str:
+    """The shared SSD multibox head ([pub] FeatherCNN runs the ssd-fork
+    deploys through its converter; layer pattern from the public
+    SSD/MobileNet-SSD deploy prototxts): per source a 1x1 loc conv
+    (np*4 ch) and conf conv (np*classes ch), each Permute(0,2,3,1)+
+    Flatten; PriorBox per source; heads Concat on axis 1, priors on
+    axis 2; conf Reshape->Softmax->Flatten; DetectionOutput."""
+    locs, confs, priors = [], [], []
+    for src, np_, kw in sources:
+        n = src.split("/")[0]
+        loc = b.conv(f"{n}_mbox_loc", src, np_ * 4, 1)
+        loc = b.permute(f"{n}_mbox_loc_perm", loc)
+        locs.append(b.flatten(f"{n}_mbox_loc_flat", loc))
+        conf = b.conv(f"{n}_mbox_conf", src, np_ * num_classes, 1)
+        conf = b.permute(f"{n}_mbox_conf_perm", conf)
+        confs.append(b.flatten(f"{n}_mbox_conf_flat", conf))
+        priors.append(b.priorbox(f"{n}_mbox_priorbox", src, data, **kw))
+    loc = b.concat("mbox_loc", locs, axis=1)
+    conf = b.concat("mbox_conf", confs, axis=1)
+    pb = b.concat("mbox_priorbox", priors, axis=2)
+    conf = b.reshape("mbox_conf_reshape", conf, (0, -1, num_classes))
+    conf = b.softmax("mbox_conf_softmax", conf)
+    conf = b.flatten("mbox_conf_flatten", conf)
+    return b.detection_output(
+        "detection_out", loc, conf, pb, num_classes,
+        nms_threshold=nms_threshold, nms_top_k=nms_top_k,
+        keep_top_k=keep_top_k, confidence_threshold=confidence_threshold)
+
+
+def mobilenet_ssd(batch: int = 1, seed: int = 0, num_classes: int = 21,
+                  keep_top_k: int = 100,
+                  confidence_threshold: float = 0.25) -> Graph:
+    """MobileNet-SSD 300x300 (the public chuanqi305 VOC deploy): MobileNet
+    v1 body (BN folded into the convs, as the deploy ships), 4 extra
+    dw-sep-free stages, heads on conv11/conv13/conv14_2..conv17_2 with
+    min_sizes 60..285.  Priors per cell: 3 on conv11 (AR {2}), 6 after."""
+    b = GraphBuilder("mobilenet_ssd", seed)
+
+    def cbr(name, x, ch, kernel=1, stride=1, pad=0, group=1):
+        return b.conv(name, x, ch, kernel, stride, pad, group=group,
+                      relu=True)
+
+    def dw_sep(idx, x, ch, stride):
+        cin = b._channels[x]
+        x = cbr(f"conv{idx}/dw", x, cin, 3, stride, 1, group=cin)
+        return cbr(f"conv{idx}", x, ch, 1)
+
+    data = b.input("data", (batch, 300, 300, 3))
+    x = cbr("conv0", data, 32, 3, 2, 1)
+    x = dw_sep(1, x, 64, 1)
+    x = dw_sep(2, x, 128, 2)
+    x = dw_sep(3, x, 128, 1)
+    x = dw_sep(4, x, 256, 2)
+    x = dw_sep(5, x, 256, 1)
+    x = dw_sep(6, x, 512, 2)
+    for i in range(7, 12):
+        x = dw_sep(i, x, 512, 1)
+    conv11 = x                                    # 19x19x512
+    x = dw_sep(12, x, 1024, 2)
+    conv13 = dw_sep(13, x, 1024, 1)               # 10x10x1024
+    x = cbr("conv14_1", conv13, 256, 1)
+    conv14 = cbr("conv14_2", x, 512, 3, 2, 1)     # 5x5
+    x = cbr("conv15_1", conv14, 128, 1)
+    conv15 = cbr("conv15_2", x, 256, 3, 2, 1)     # 3x3
+    x = cbr("conv16_1", conv15, 128, 1)
+    conv16 = cbr("conv16_2", x, 256, 3, 2, 1)     # 2x2
+    x = cbr("conv17_1", conv16, 64, 1)
+    conv17 = cbr("conv17_2", x, 128, 3, 2, 1)     # 1x1
+
+    def pb(mn, mx=None, ars=(2.0, 3.0)):
+        kw = {"min_sizes": [mn], "aspect_ratios": list(ars)}
+        if mx is not None:
+            kw["max_sizes"] = [mx]
+        return kw
+
+    out = _ssd_head(b, data, [
+        (conv11, 3, pb(60.0, None, (2.0,))),
+        (conv13, 6, pb(105.0, 150.0)),
+        (conv14, 6, pb(150.0, 195.0)),
+        (conv15, 6, pb(195.0, 240.0)),
+        (conv16, 6, pb(240.0, 285.0)),
+        (conv17, 6, pb(285.0, 300.0)),
+    ], num_classes, keep_top_k=keep_top_k, nms_top_k=100,
+        confidence_threshold=confidence_threshold)
+    return b.finish([out])
+
+
+def vgg16_ssd300(batch: int = 1, seed: int = 0, num_classes: int = 21,
+                 keep_top_k: int = 200,
+                 confidence_threshold: float = 0.01) -> Graph:
+    """SSD300 (the original Wei Liu VGG-16 deploy): VGG through conv5_3
+    (ceil-mode pool3 75->38, stride-1 3x3 pool5), atrous fc6 (dilation
+    6), conv6_1..conv9_2 extras, L2 Normalize (init 20) on conv4_3, 8732
+    priors over 38/19/10/5/3/1 grids with steps 8..300."""
+    b = GraphBuilder("vgg16_ssd300", seed)
+    data = b.input("data", (batch, 300, 300, 3))
+    x = data
+    for stage, n, ch in [(1, 2, 64), (2, 2, 128), (3, 3, 256),
+                         (4, 3, 512), (5, 3, 512)]:
+        for i in range(1, n + 1):
+            x = b.conv(f"conv{stage}_{i}", x, ch, 3, pad=1, relu=True)
+        if stage == 4:
+            conv4_3 = x                           # 38x38x512
+        if stage < 5:
+            x = b.pool(f"pool{stage}", x, 2, 2)   # ceil: 75 -> 38
+        else:
+            x = b.pool("pool5", x, 3, 1, pad=1)
+    x = b.conv("fc6", x, 1024, 3, pad=6, dilation=6, relu=True)
+    fc7 = b.conv("fc7", x, 1024, 1, relu=True)    # 19x19x1024
+    x = b.conv("conv6_1", fc7, 256, 1, relu=True)
+    conv6 = b.conv("conv6_2", x, 512, 3, stride=2, pad=1, relu=True)
+    x = b.conv("conv7_1", conv6, 128, 1, relu=True)
+    conv7 = b.conv("conv7_2", x, 256, 3, stride=2, pad=1, relu=True)
+    x = b.conv("conv8_1", conv7, 128, 1, relu=True)
+    conv8 = b.conv("conv8_2", x, 256, 3, relu=True)     # 5 -> 3
+    x = b.conv("conv9_1", conv8, 128, 1, relu=True)
+    conv9 = b.conv("conv9_2", x, 256, 3, relu=True)     # 3 -> 1
+    norm4_3 = b.normalize("conv4_3_norm", conv4_3, init_scale=20.0)
+
+    def pb(mn, mx, step, ars):
+        return {"min_sizes": [mn], "max_sizes": [mx], "step": step,
+                "aspect_ratios": list(ars)}
+
+    out = _ssd_head(b, data, [
+        (norm4_3, 4, pb(30.0, 60.0, 8.0, (2.0,))),
+        (fc7, 6, pb(60.0, 111.0, 16.0, (2.0, 3.0))),
+        (conv6, 6, pb(111.0, 162.0, 32.0, (2.0, 3.0))),
+        (conv7, 6, pb(162.0, 213.0, 64.0, (2.0, 3.0))),
+        (conv8, 4, pb(213.0, 264.0, 100.0, (2.0,))),
+        (conv9, 4, pb(264.0, 315.0, 300.0, (2.0,))),
+    ], num_classes, keep_top_k=keep_top_k, nms_top_k=400,
+        confidence_threshold=confidence_threshold)
+    return b.finish([out])
+
+
 MODEL_BUILDERS = {
     "squeezenet_v11": squeezenet_v11,
     "mobilenet_v1": mobilenet_v1,
@@ -531,6 +670,8 @@ MODEL_BUILDERS = {
     "fcn8s": fcn8s,
     "deeplab_largefov": deeplab_largefov,
     "pspnet50": pspnet50,
+    "mobilenet_ssd": mobilenet_ssd,
+    "vgg16_ssd300": vgg16_ssd300,
 }
 
 

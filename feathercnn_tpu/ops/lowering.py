@@ -306,6 +306,188 @@ def _lower_interp(node, inputs, params, ctx):
     return [xf.astype(x.dtype)]
 
 
+@register_lowering("Permute")
+def _lower_permute(node, inputs, params, ctx):
+    """SSD's NCHW->NHWC Permute — the identity in this IR's NHWC storage
+    (ir._permute_shape rejects every other order).  The value is a
+    literal tensor afterwards: Flatten reads it in Caffe's post-permute
+    order for free."""
+    return [inputs[0]]
+
+
+@register_lowering("Normalize")
+def _lower_normalize(node, inputs, params, ctx):
+    """Caffe ssd NormalizeLayer (across_spatial=false form, SSD conv4_3):
+    per-pixel L2 over channels, then a learned per-channel (or shared)
+    scale."""
+    x = inputs[0].astype(jnp.float32)
+    if node.attrs.get("across_spatial"):
+        norm = jnp.sqrt(jnp.sum(x * x, axis=(1, 2, 3), keepdims=True)
+                        + 1e-10)
+    else:
+        norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-10)
+    y = x / norm
+    if params:
+        y = y * params[0].astype(jnp.float32).reshape(-1)
+    return [y.astype(inputs[0].dtype)]
+
+
+def priorbox_boxes(node, feat_shape, img_shape) -> np.ndarray:
+    """Caffe ssd PriorBoxLayer generation (prior_box_layer.cpp Forward),
+    computed host-side at trace time — priors depend only on shapes, so
+    they become an XLA constant.  Returns (1, 2, H*W*np*4) f32."""
+    a = node.attrs
+    _, fh, fw, _ = feat_shape
+    _, ih, iw, _ = img_shape
+    step_w = float(a.get("step", 0)) or iw / fw
+    step_h = float(a.get("step", 0)) or ih / fh
+    offset = float(a.get("offset", 0.5))
+    min_sizes = [float(s) for s in a.get("min_sizes", [])]
+    max_sizes = [float(s) for s in a.get("max_sizes", [])]
+    flip = bool(a.get("flip", True))
+    # Caffe expands aspect_ratios_ = [1] + [r, (1/r if flip)] per given r
+    ars = [1.0]
+    for r in a.get("aspect_ratios", []):
+        r = float(r)
+        if any(abs(r - e) < 1e-6 for e in ars):
+            continue
+        ars.append(r)
+        if flip:
+            ars.append(1.0 / r)
+    wh = []      # (box_w, box_h) per prior, Caffe emission order
+    for i, s in enumerate(min_sizes):
+        wh.append((s, s))
+        if max_sizes:
+            sp = float(np.sqrt(s * max_sizes[i]))
+            wh.append((sp, sp))
+        for r in ars:
+            if abs(r - 1.0) < 1e-6:
+                continue
+            wh.append((s * np.sqrt(r), s / np.sqrt(r)))
+    wh = np.asarray(wh, np.float32)                      # (np, 2)
+    cx = (np.arange(fw, dtype=np.float32) + offset) * step_w
+    cy = (np.arange(fh, dtype=np.float32) + offset) * step_h
+    cxg, cyg = np.meshgrid(cx, cy)                       # (fh, fw)
+    cxg = cxg[..., None]
+    cyg = cyg[..., None]
+    boxes = np.stack([
+        (cxg - wh[:, 0] / 2) / iw, (cyg - wh[:, 1] / 2) / ih,
+        (cxg + wh[:, 0] / 2) / iw, (cyg + wh[:, 1] / 2) / ih,
+    ], axis=-1)                                          # (fh, fw, np, 4)
+    if a.get("clip"):
+        boxes = np.clip(boxes, 0.0, 1.0)
+    var = [float(v) for v in a.get("variances", [0.1])]
+    if len(var) == 1:
+        var = var * 4
+    variances = np.tile(np.asarray(var, np.float32),
+                        fh * fw * len(wh))
+    return np.stack([boxes.reshape(-1), variances])[None]
+
+
+@register_lowering("PriorBox")
+def _lower_priorbox(node, inputs, params, ctx):
+    feat = ctx.graph.specs[node.inputs[0]].shape
+    img = ctx.graph.specs[node.inputs[1]].shape
+    return [jnp.asarray(priorbox_boxes(node, feat, img))]
+
+
+@register_lowering("DetectionOutput")
+def _lower_detection_output(node, inputs, params, ctx):
+    """Caffe ssd DetectionOutputLayer, static-shape TPU form: CENTER_SIZE
+    decode + per-class greedy NMS (lax.fori_loop over a precomputed IoU
+    matrix) + cross-class keep_top_k.  Output (N, keep_top_k, 7) rows
+    [image_id, label, score, xmin, ymin, xmax, ymax], padded with
+    label -1 (the reference emits a ragged (1,1,num_det,7) — ragged
+    shapes don't compile; consumers mask on label >= 0)."""
+    a = node.attrs
+    num_classes = int(a["num_classes"])
+    bg = int(a.get("background_label_id", 0))
+    conf_thresh = float(a.get("confidence_threshold", 0.01))
+    nms_thresh = float(a.get("nms_threshold", 0.45))
+    nms_top_k = int(a.get("nms_top_k", 400))
+    keep_top_k = int(a.get("keep_top_k", 200))
+    if not a.get("share_location", True):
+        raise NotImplementedError(f"{node.name}: share_location=false")
+
+    loc, conf, priors = inputs
+    n = loc.shape[0]
+    pb = jnp.asarray(priors, jnp.float32).reshape(2, -1, 4)
+    pbox, pvar = pb[0], pb[1]                   # (P, 4)
+    P = pbox.shape[0]
+    loc = loc.reshape(n, P, 4).astype(jnp.float32)
+    conf = conf.reshape(n, P, num_classes).astype(jnp.float32)
+    K = min(nms_top_k, P)
+
+    # CENTER_SIZE decode, variance applied from the prior row
+    pw = pbox[:, 2] - pbox[:, 0]
+    ph = pbox[:, 3] - pbox[:, 1]
+    pcx = (pbox[:, 0] + pbox[:, 2]) * 0.5
+    pcy = (pbox[:, 1] + pbox[:, 3]) * 0.5
+
+    def decode(l):                              # (P, 4) -> (P, 4)
+        cx = pvar[:, 0] * l[:, 0] * pw + pcx
+        cy = pvar[:, 1] * l[:, 1] * ph + pcy
+        w = jnp.exp(pvar[:, 2] * l[:, 2]) * pw
+        h = jnp.exp(pvar[:, 3] * l[:, 3]) * ph
+        return jnp.stack([cx - w / 2, cy - h / 2,
+                          cx + w / 2, cy + h / 2], axis=-1)
+
+    def iou_matrix(b):                          # (K, 4) -> (K, K)
+        area = jnp.maximum(b[:, 2] - b[:, 0], 0) \
+            * jnp.maximum(b[:, 3] - b[:, 1], 0)
+        lt = jnp.maximum(b[:, None, :2], b[None, :, :2])
+        rb = jnp.minimum(b[:, None, 2:], b[None, :, 2:])
+        inter = jnp.prod(jnp.maximum(rb - lt, 0), axis=-1)
+        return inter / jnp.maximum(area[:, None] + area[None, :] - inter,
+                                   1e-10)
+
+    def nms_class(scores, boxes):
+        """Greedy NMS on one class: top-K by score, sequential suppress."""
+        sc, idx = jax.lax.top_k(scores, K)      # descending
+        b = boxes[idx]
+        iou = iou_matrix(b)
+        valid = sc > conf_thresh
+
+        def body(i, keep):
+            sup = jnp.any(keep & (iou[i] > nms_thresh))
+            return keep.at[i].set(valid[i] & ~sup)
+
+        keep = jax.lax.fori_loop(0, K, body,
+                                 jnp.zeros((K,), jnp.bool_))
+        return jnp.where(keep, sc, -1.0), b
+
+    def per_image(loc_i, conf_i):
+        boxes = decode(loc_i)                   # shared across classes
+        cls = [c for c in range(num_classes) if c != bg]
+        sc_all, bx_all, lb_all = [], [], []
+        for c in cls:
+            sc, bx = nms_class(conf_i[:, c], boxes)
+            sc_all.append(sc)
+            bx_all.append(bx)
+            lb_all.append(jnp.full((K,), c, jnp.float32))
+        sc = jnp.concatenate(sc_all)
+        bx = jnp.concatenate(bx_all)
+        lb = jnp.concatenate(lb_all)
+        top, ti = jax.lax.top_k(sc, min(keep_top_k, sc.shape[0]))
+        pad = keep_top_k - top.shape[0]
+        good = top > 0
+        row = jnp.concatenate([
+            jnp.where(good, lb[ti], -1.0)[:, None],
+            jnp.where(good, top, 0.0)[:, None],
+            jnp.where(good[:, None], bx[ti], 0.0)], axis=-1)
+        if pad:
+            row = jnp.concatenate(
+                [row, jnp.tile(jnp.asarray([[-1., 0., 0., 0., 0., 0.]],
+                                           jnp.float32), (pad, 1))])
+        return row                              # (keep_top_k, 6)
+
+    rows = jax.vmap(per_image)(loc, conf)       # (N, keep, 6)
+    img_id = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.float32)[:, None, None],
+        (n, keep_top_k, 1))
+    return [jnp.concatenate([img_id, rows], axis=-1)]
+
+
 @register_lowering("ArgMax")
 def _lower_argmax(node, inputs, params, ctx):
     """Caffe ArgMaxLayer.  With `axis`: that dim -> top_k indices (or max
@@ -761,7 +943,10 @@ def _lower_flatten(node, inputs, params, ctx):
 @register_lowering("Reshape")
 def _lower_reshape(node, inputs, params, ctx):
     shape = list(node.attrs["shape"])
-    return [inputs[0].reshape(shape)]
+    for i, d in enumerate(shape):
+        if d == 0:   # Caffe ReshapeLayer: copy the input dim (batch-safe
+            shape[i] = inputs[0].shape[i]  # under run-time retrace)
+    return [inputs[0].reshape(shape)]      # jnp resolves a single -1
 
 
 @register_lowering("Dropout")

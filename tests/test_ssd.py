@@ -1,0 +1,339 @@
+"""SSD detection ops (Normalize/PriorBox/DetectionOutput/Permute) vs
+independent references: torch for Normalize, hand-rolled numpy for the
+prior generator and the decode+NMS pipeline (Caffe ssd-fork semantics:
+prior_box_layer.cpp / detection_output_layer.cpp)."""
+
+import numpy as np
+import pytest
+
+from feathercnn_tpu import Engine
+from feathercnn_tpu.ir import Graph, Node, TensorSpec
+from feathercnn_tpu.models.zoo import mobilenet_ssd, vgg16_ssd300
+
+
+def _run(op, attrs, inputs, params=None, out_names=("y",)):
+    in_specs = {f"x{i}": TensorSpec(v.shape) for i, v in enumerate(inputs)}
+    g = Graph("t", in_specs, list(out_names),
+              [Node("n", op, list(in_specs), list(out_names), attrs,
+                    list(params or {}))],
+              params=dict(params or {}))
+    e = Engine(g, optimize_graph=False)
+    out = e.run({f"x{i}": v for i, v in enumerate(inputs)})
+    return [np.asarray(out[n]) for n in out_names]
+
+
+def test_normalize_vs_torch(rng):
+    import torch
+    x = rng.normal(size=(2, 4, 4, 8)).astype(np.float32)
+    scale = rng.uniform(0.5, 2.0, size=8).astype(np.float32)
+    (y,) = _run("Normalize", {"across_spatial": False}, [x],
+                params={"s": scale})
+    t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    ref = torch.nn.functional.normalize(t, dim=1, eps=0) \
+        * torch.from_numpy(scale).view(1, -1, 1, 1)
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_normalize_across_spatial(rng):
+    x = rng.normal(size=(2, 3, 3, 4)).astype(np.float32)
+    (y,) = _run("Normalize", {"across_spatial": True}, [x],
+                params={"s": np.asarray([2.0], np.float32)})
+    ref = 2.0 * x / np.sqrt((x ** 2).sum(axis=(1, 2, 3), keepdims=True)
+                            + 1e-10)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_priorbox_hand_case():
+    """2x2 feature on an 8x8 image, min 4 / max 8 / AR {2, 1/2}: checks
+    center placement (offset*step), the sqrt(min*max) prior, aspect
+    scaling, and the box/variance row layout."""
+    feat = np.zeros((1, 2, 2, 3), np.float32)
+    img = np.zeros((1, 8, 8, 3), np.float32)
+    attrs = {"min_sizes": [4.0], "max_sizes": [8.0],
+             "aspect_ratios": [2.0], "flip": True, "clip": False,
+             "variances": [0.1, 0.1, 0.2, 0.2], "offset": 0.5}
+    (y,) = _run("PriorBox", attrs, [feat, img])
+    assert y.shape == (1, 2, 2 * 2 * 4 * 4)
+    boxes = y[0, 0].reshape(2, 2, 4, 4)
+    var = y[0, 1].reshape(-1, 4)
+    np.testing.assert_allclose(var, np.tile([0.1, 0.1, 0.2, 0.2],
+                                            (16, 1)), rtol=1e-6)
+    # cell (0,0): center at (0.5*4, 0.5*4) = (2,2); min prior 4x4
+    np.testing.assert_allclose(boxes[0, 0, 0], [0, 0, 0.5, 0.5],
+                               atol=1e-6)
+    # sqrt(4*8) prior
+    s = np.sqrt(32.0)
+    np.testing.assert_allclose(
+        boxes[0, 0, 1], [(2 - s / 2) / 8, (2 - s / 2) / 8,
+                         (2 + s / 2) / 8, (2 + s / 2) / 8], atol=1e-6)
+    # AR 2: w = 4*sqrt(2), h = 4/sqrt(2); AR 1/2 is the transpose
+    w, h = 4 * np.sqrt(2), 4 / np.sqrt(2)
+    np.testing.assert_allclose(
+        boxes[0, 0, 2], [(2 - w / 2) / 8, (2 - h / 2) / 8,
+                         (2 + w / 2) / 8, (2 + h / 2) / 8], atol=1e-6)
+    np.testing.assert_allclose(
+        boxes[0, 0, 3], [(2 - h / 2) / 8, (2 - w / 2) / 8,
+                         (2 + h / 2) / 8, (2 + w / 2) / 8], atol=1e-6)
+    # cell (1,1) center at (6,6): same sizes, shifted by step=4
+    np.testing.assert_allclose(boxes[1, 1, 0] - boxes[0, 0, 0], 0.5,
+                               atol=1e-6)
+
+
+def test_priorbox_clip_and_step():
+    feat = np.zeros((1, 3, 3, 2), np.float32)
+    img = np.zeros((1, 30, 30, 3), np.float32)
+    attrs = {"min_sizes": [20.0], "max_sizes": [], "aspect_ratios": [],
+             "flip": True, "clip": True, "variances": [0.1],
+             "offset": 0.5, "step": 10.0}
+    (y,) = _run("PriorBox", attrs, [feat, img])
+    boxes = y[0, 0].reshape(-1, 4)
+    assert boxes.min() >= 0 and boxes.max() <= 1
+    # center of cell 0 = 5/30; unclipped xmin would be (5-10)/30 < 0
+    np.testing.assert_allclose(boxes[0], [0, 0, 0.5, 0.5], atol=1e-6)
+    # single-element variance broadcasts to all 4 coords
+    np.testing.assert_allclose(y[0, 1], 0.1, atol=1e-7)
+
+
+def _decode_nms_oracle(loc, conf, priors, variances, num_classes,
+                       conf_thresh, nms_thresh, nms_top_k, keep_top_k,
+                       bg=0):
+    """Independent numpy DetectionOutput: CENTER_SIZE decode + per-class
+    greedy NMS + cross-class keep_top_k (Caffe ssd semantics)."""
+    P = priors.shape[0]
+    pw = priors[:, 2] - priors[:, 0]
+    ph = priors[:, 3] - priors[:, 1]
+    pcx = (priors[:, 0] + priors[:, 2]) / 2
+    pcy = (priors[:, 1] + priors[:, 3]) / 2
+    cx = variances[:, 0] * loc[:, 0] * pw + pcx
+    cy = variances[:, 1] * loc[:, 1] * ph + pcy
+    w = np.exp(variances[:, 2] * loc[:, 2]) * pw
+    h = np.exp(variances[:, 3] * loc[:, 3]) * ph
+    boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+    def iou(a, b):
+        ax = max(min(a[2], b[2]) - max(a[0], b[0]), 0)
+        ay = max(min(a[3], b[3]) - max(a[1], b[1]), 0)
+        inter = ax * ay
+        ua = (a[2] - a[0]) * (a[3] - a[1]) \
+            + (b[2] - b[0]) * (b[3] - b[1]) - inter
+        return inter / ua if ua > 0 else 0.0
+
+    dets = []
+    for c in range(num_classes):
+        if c == bg:
+            continue
+        order = np.argsort(-conf[:, c])[:nms_top_k]
+        kept = []
+        for i in order:
+            if conf[i, c] <= conf_thresh:
+                break
+            if all(iou(boxes[i], boxes[j]) <= nms_thresh for j in kept):
+                kept.append(i)
+        dets += [(c, conf[i, c], boxes[i]) for i in kept]
+    dets.sort(key=lambda d: -d[1])
+    return dets[:keep_top_k]
+
+
+def test_detection_output_vs_numpy_oracle(rng):
+    P, C, keep = 40, 5, 25
+    pcx = rng.uniform(0.1, 0.9, P)
+    pcy = rng.uniform(0.1, 0.9, P)
+    pw = rng.uniform(0.05, 0.3, P)
+    ph = rng.uniform(0.05, 0.3, P)
+    priors = np.stack([pcx - pw / 2, pcy - ph / 2,
+                       pcx + pw / 2, pcy + ph / 2], -1).astype(np.float32)
+    variances = np.tile(np.asarray([0.1, 0.1, 0.2, 0.2], np.float32),
+                        (P, 1))
+    loc = rng.normal(scale=0.5, size=(2, P, 4)).astype(np.float32)
+    logits = rng.normal(scale=2.0, size=(2, P, C)).astype(np.float32)
+    conf = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    prior_blob = np.stack([priors.reshape(-1),
+                           variances.reshape(-1)])[None]
+    attrs = {"num_classes": C, "share_location": True,
+             "background_label_id": 0, "nms_threshold": 0.45,
+             "nms_top_k": 30, "keep_top_k": keep,
+             "confidence_threshold": 0.05}
+    (y,) = _run("DetectionOutput", attrs,
+                [loc.reshape(2, -1), conf.reshape(2, -1),
+                 prior_blob.astype(np.float32)])
+    assert y.shape == (2, keep, 7)
+    for n in range(2):
+        ref = _decode_nms_oracle(loc[n], conf[n], priors, variances, C,
+                                 0.05, 0.45, 30, keep)
+        got = y[n][y[n][:, 1] >= 0]
+        assert len(got) == len(ref)
+        for row, (label, score, box) in zip(got, ref):
+            assert row[0] == n
+            assert row[1] == label
+            np.testing.assert_allclose(row[2], score, rtol=1e-5)
+            np.testing.assert_allclose(row[3:], box, rtol=1e-4,
+                                       atol=1e-5)
+
+
+def test_detection_output_planted_box():
+    """One hot prior per class, zero loc offsets: the output rows must be
+    the priors themselves at their softmax scores."""
+    P, C = 8, 3
+    priors = np.stack([np.linspace(0, 0.7, P),
+                       np.linspace(0, 0.7, P),
+                       np.linspace(0, 0.7, P) + 0.2,
+                       np.linspace(0, 0.7, P) + 0.2], -1).astype(np.float32)
+    variances = np.full((P, 4), 0.1, np.float32)
+    loc = np.zeros((1, P, 4), np.float32)
+    conf = np.full((1, P, C), 0.01, np.float32)
+    conf[0, 2, 1] = 0.9       # class 1 on prior 2
+    conf[0, 6, 2] = 0.8       # class 2 on prior 6
+    prior_blob = np.stack([priors.reshape(-1),
+                           variances.reshape(-1)])[None]
+    attrs = {"num_classes": C, "background_label_id": 0,
+             "nms_threshold": 0.45, "nms_top_k": 8, "keep_top_k": 4,
+             "confidence_threshold": 0.5}
+    (y,) = _run("DetectionOutput", attrs,
+                [loc.reshape(1, -1), conf.reshape(1, -1), prior_blob])
+    got = y[0][y[0][:, 1] >= 0]
+    assert got.shape[0] == 2
+    np.testing.assert_allclose(got[0][1:3], [1, 0.9], rtol=1e-6)
+    np.testing.assert_allclose(got[0][3:], priors[2], atol=1e-6)
+    np.testing.assert_allclose(got[1][1:3], [2, 0.8], rtol=1e-6)
+    np.testing.assert_allclose(got[1][3:], priors[6], atol=1e-6)
+
+
+def test_ssd_head_conversion_vs_torch(rng):
+    """A miniature SSD net (conv feature -> Normalize -> loc/conf heads ->
+    Permute/Flatten -> PriorBox -> Reshape/Softmax -> DetectionOutput)
+    through the binary protobuf codec + converter, checked against an
+    independent torch-conv + numpy decode/NMS pipeline."""
+    import torch
+    import torch.nn.functional as F
+    from tools import caffe_pb
+    from tools.convert_caffe import Converter
+
+    C, P_CELL, CLS = 4, 2, 3
+    wf = rng.normal(scale=0.3, size=(C, 3, 3, 3)).astype(np.float32)
+    bf = rng.normal(size=(C,)).astype(np.float32)
+    nsc = rng.uniform(1, 3, size=(C,)).astype(np.float32)
+    wl = rng.normal(scale=0.1, size=(P_CELL * 4, C, 1, 1)) \
+        .astype(np.float32)
+    bl = rng.normal(scale=0.1, size=(P_CELL * 4,)).astype(np.float32)
+    wc = rng.normal(size=(P_CELL * CLS, C, 1, 1)).astype(np.float32)
+    bc = rng.normal(size=(P_CELL * CLS,)).astype(np.float32)
+
+    def blob(a):
+        return {"shape": {"dim": list(a.shape)}, "data": a.ravel()}
+
+    net = {"name": "mini_ssd", "input": ["data"],
+           "input_dim": [1, 3, 8, 8], "layer": [
+        {"name": "feat", "type": "Convolution", "bottom": ["data"],
+         "top": ["feat"], "blobs": [blob(wf), blob(bf)],
+         "convolution_param": {"num_output": C, "kernel_size": [3],
+                               "pad": [1], "stride": [2]}},
+        {"name": "feat_norm", "type": "Normalize", "bottom": ["feat"],
+         "top": ["feat_norm"], "blobs": [blob(nsc)],
+         "norm_param": {"across_spatial": False,
+                        "channel_shared": False}},
+        {"name": "loc", "type": "Convolution", "bottom": ["feat_norm"],
+         "top": ["loc"], "blobs": [blob(wl), blob(bl)],
+         "convolution_param": {"num_output": P_CELL * 4,
+                               "kernel_size": [1]}},
+        {"name": "loc_perm", "type": "Permute", "bottom": ["loc"],
+         "top": ["loc_perm"], "permute_param": {"order": [0, 2, 3, 1]}},
+        {"name": "loc_flat", "type": "Flatten", "bottom": ["loc_perm"],
+         "top": ["loc_flat"]},
+        {"name": "conf", "type": "Convolution", "bottom": ["feat_norm"],
+         "top": ["conf"], "blobs": [blob(wc), blob(bc)],
+         "convolution_param": {"num_output": P_CELL * CLS,
+                               "kernel_size": [1]}},
+        {"name": "conf_perm", "type": "Permute", "bottom": ["conf"],
+         "top": ["conf_perm"], "permute_param": {"order": [0, 2, 3, 1]}},
+        {"name": "conf_flat", "type": "Flatten", "bottom": ["conf_perm"],
+         "top": ["conf_flat"]},
+        {"name": "conf_resh", "type": "Reshape", "bottom": ["conf_flat"],
+         "top": ["conf_resh"],
+         "reshape_param": {"shape": {"dim": [0, -1, CLS]}}},
+        {"name": "conf_soft", "type": "Softmax", "bottom": ["conf_resh"],
+         "top": ["conf_soft"], "softmax_param": {"axis": 2}},
+        {"name": "conf_out", "type": "Flatten", "bottom": ["conf_soft"],
+         "top": ["conf_out"]},
+        {"name": "priorbox", "type": "PriorBox",
+         "bottom": ["feat_norm", "data"], "top": ["priorbox"],
+         "prior_box_param": {"min_size": [2.0], "max_size": [4.0],
+                             "flip": True, "clip": False,
+                             "variance": [0.1, 0.1, 0.2, 0.2],
+                             "offset": 0.5}},
+        {"name": "detection_out", "type": "DetectionOutput",
+         "bottom": ["loc_flat", "conf_out", "priorbox"],
+         "top": ["detection_out"],
+         "detection_output_param": {
+             "num_classes": CLS, "share_location": True,
+             "background_label_id": 0, "keep_top_k": 10,
+             "code_type": 2, "confidence_threshold": 0.1,
+             "nms_param": {"nms_threshold": 0.4, "top_k": 16}}},
+    ]}
+    parsed = caffe_pb.parse_net(caffe_pb.encode(net,
+                                                caffe_pb.NET_PARAMETER))
+    g = Converter(parsed, parsed).convert()
+
+    x_nchw = rng.normal(size=(1, 3, 8, 8)).astype(np.float32)
+    y = np.asarray(Engine(g)(np.transpose(x_nchw, (0, 2, 3, 1))))
+
+    # Independent reference: torch convs (NCHW) + numpy priors/NMS.
+    t = torch.from_numpy(x_nchw)
+    feat = F.conv2d(t, torch.from_numpy(wf), torch.from_numpy(bf),
+                    stride=2, padding=1)
+    feat = F.normalize(feat, dim=1, eps=1e-10) \
+        * torch.from_numpy(nsc).view(1, -1, 1, 1)
+    loc = F.conv2d(feat, torch.from_numpy(wl), torch.from_numpy(bl))
+    conf = F.conv2d(feat, torch.from_numpy(wc), torch.from_numpy(bc))
+    # Caffe head order: [h][w][prior][coord/class]
+    loc = loc.permute(0, 2, 3, 1).reshape(-1, 4).numpy()
+    conf = torch.softmax(
+        conf.permute(0, 2, 3, 1).reshape(-1, CLS), dim=-1).numpy()
+    # priors: 4x4 grid, step 2, sizes 2 and sqrt(8)
+    centers = (np.arange(4) + 0.5) * 2
+    pri = []
+    for cy in centers:
+        for cx in centers:
+            for s in (2.0, np.sqrt(8.0)):
+                pri.append([(cx - s / 2) / 8, (cy - s / 2) / 8,
+                            (cx + s / 2) / 8, (cy + s / 2) / 8])
+    pri = np.asarray(pri, np.float32)
+    var = np.tile(np.asarray([0.1, 0.1, 0.2, 0.2], np.float32),
+                  (len(pri), 1))
+    ref = _decode_nms_oracle(loc, conf, pri, var, CLS, 0.1, 0.4, 16, 10)
+    got = y[0][y[0][:, 1] >= 0]
+    assert len(got) == len(ref) > 0
+    for row, (label, score, box) in zip(got, ref):
+        assert row[1] == label
+        np.testing.assert_allclose(row[2], score, rtol=1e-4)
+        np.testing.assert_allclose(row[3:], box, rtol=1e-3, atol=1e-5)
+
+
+def test_permute_rejects_non_nhwc_order():
+    x = np.zeros((1, 2, 2, 3), np.float32)
+    with pytest.raises(NotImplementedError):
+        _run("Permute", {"order": (0, 3, 1, 2)}, [x])
+
+
+@pytest.mark.parametrize("builder,n_priors", [(mobilenet_ssd, 1917),
+                                              (vgg16_ssd300, 8732)])
+def test_ssd_zoo_prior_counts(builder, n_priors):
+    g = builder(batch=1)
+    assert g.specs["mbox_priorbox"].shape == (1, 2, n_priors * 4)
+    assert g.specs["mbox_loc"].shape == (1, n_priors * 4)
+
+
+def test_mobilenet_ssd_end_to_end(rng):
+    """Whole-model smoke: valid (N, keep, 7) rows, per-image ids, labels
+    in range, scores above the configured threshold, descending."""
+    g = mobilenet_ssd(batch=2, keep_top_k=50, confidence_threshold=0.05)
+    e = Engine(g)
+    y = np.asarray(e(rng.normal(size=(2, 300, 300, 3))
+                     .astype(np.float32)))
+    assert y.shape == (2, 50, 7)
+    for n in range(2):
+        rows = y[n][y[n][:, 1] >= 0]
+        assert (rows[:, 0] == n).all()
+        assert ((rows[:, 1] >= 1) & (rows[:, 1] <= 20)).all()
+        assert (rows[:, 2] > 0.05).all()
+        assert (np.diff(rows[:, 2]) <= 1e-6).all()

@@ -123,6 +123,8 @@ def decode(buf, schema: Dict[int, Tuple[str, str]]) -> Dict[str, Any]:
 # -- encoder (for tests) ------------------------------------------------
 
 def _varint(v: int) -> bytes:
+    if v < 0:            # proto2 negative int: 64-bit two's complement
+        v += 1 << 64
     out = bytearray()
     while True:
         b = v & 0x7F
@@ -275,6 +277,28 @@ ELU_PARAM = {1: ("alpha", "float")}
 CROP_PARAM = {1: ("axis", "varint"), 2: ("offset", "packed_varint")}
 ARGMAX_PARAM = {1: ("out_max_val", "bool"), 2: ("top_k", "varint"),
                 3: ("axis", "varint")}
+# Wei Liu's ssd fork layers.  LayerParameter slots 202/203/204/206 are the
+# fork's; inner field numbers are stable.  Deploys convert via the TEXT
+# parser, so the slots only matter for synthetic binary round-trips.
+PERMUTE_PARAM = {1: ("order", "packed_varint")}
+NORMALIZE_PARAM = {1: ("across_spatial", "bool"),
+                   3: ("channel_shared", "bool"), 4: ("eps", "float")}
+PRIOR_BOX_PARAM = {1: ("min_size", "packed_float"),
+                   2: ("max_size", "packed_float"),
+                   3: ("aspect_ratio", "packed_float"),
+                   4: ("flip", "bool"), 5: ("clip", "bool"),
+                   6: ("variance", "packed_float"),
+                   10: ("step", "float"), 13: ("offset", "float")}
+NMS_PARAM = {1: ("nms_threshold", "float"), 2: ("top_k", "varint"),
+             3: ("eta", "float")}
+DETECTION_OUTPUT_PARAM = {
+    1: ("num_classes", "varint"), 2: ("share_location", "bool"),
+    3: ("background_label_id", "varint"),
+    4: ("nms_param", ("msg", NMS_PARAM)),
+    6: ("code_type", "varint"),        # CORNER=1 CENTER_SIZE=2
+    7: ("keep_top_k", "varint"),
+    9: ("confidence_threshold", "float"),
+}
 # DeepLab/PSPNet fork's InterpLayer. Inner field numbers are stable across
 # the forks; the LayerParameter slot varies by fork (166 = PSPNet's) —
 # deploy prototxts go through the TEXT parser, so the slot only matters
@@ -311,6 +335,10 @@ LAYER_PARAMETER = {
     103: ("argmax_param", ("msg", ARGMAX_PARAM)),
     144: ("crop_param", ("msg", CROP_PARAM)),
     166: ("interp_param", ("msg", INTERP_PARAM)),
+    202: ("permute_param", ("msg", PERMUTE_PARAM)),
+    203: ("prior_box_param", ("msg", PRIOR_BOX_PARAM)),
+    204: ("detection_output_param", ("msg", DETECTION_OUTPUT_PARAM)),
+    206: ("norm_param", ("msg", NORMALIZE_PARAM)),
 }
 
 # Old-style (V1) layers: type is an enum, params use small field numbers.

@@ -43,12 +43,21 @@ _POOL_MODES = {0: "MAX", 1: "AVE", 2: "STOCHASTIC",
 def _as_list(v) -> List:
     if v is None:
         return []
+    if isinstance(v, np.ndarray):   # packed fields off the binary wire
+        return v.tolist()
     return v if isinstance(v, list) else [v]
 
 
 def _first(v, default=None):
     lst = _as_list(v)
     return lst[0] if lst else default
+
+
+def _i32(v) -> int:
+    """Negative int32 arrives as a 64-bit two's-complement varint from the
+    binary wire (the text parser yields it signed already)."""
+    v = int(v)
+    return v - 2 ** 64 if v >= 2 ** 63 else v
 
 
 def _blob_array(blob: Dict[str, Any]) -> np.ndarray:
@@ -338,6 +347,58 @@ class Converter:
                      "beta": float(p.get("beta", 0.75)),
                      "k": float(p.get("k", 1.0))}
             op = "LRN"
+        elif ltype == "Permute":
+            p = layer.get("permute_param", {})
+            order = [int(o) for o in _as_list(p.get("order"))]
+            order += list(range(len(order), 4))
+            attrs["order"] = tuple(order)
+            op = "Permute"
+        elif ltype == "Normalize":
+            p = layer.get("norm_param", {})
+            attrs = {"across_spatial": bool(p.get("across_spatial", True)),
+                     "channel_shared": bool(p.get("channel_shared", True))}
+            if blobs:
+                add_param("scale", blobs[0].reshape(-1))
+            op = "Normalize"
+        elif ltype == "PriorBox":
+            p = layer.get("prior_box_param", {})
+            attrs = {
+                "min_sizes": [float(s) for s in _as_list(p.get("min_size"))],
+                "max_sizes": [float(s) for s in _as_list(p.get("max_size"))],
+                "aspect_ratios": [float(r)
+                                  for r in _as_list(p.get("aspect_ratio"))],
+                "flip": bool(p.get("flip", True)),
+                "clip": bool(p.get("clip", False)),
+                "variances": [float(v) for v in _as_list(p.get("variance"))]
+                or [0.1],
+                "offset": float(p.get("offset", 0.5)),
+            }
+            if p.get("step") is not None:
+                attrs["step"] = float(p["step"])
+            op = "PriorBox"
+        elif ltype == "DetectionOutput":
+            p = layer.get("detection_output_param", {})
+            code = p.get("code_type", "CENTER_SIZE")
+            if code not in ("CENTER_SIZE", 2):
+                raise NotImplementedError(
+                    f"layer {lname!r}: DetectionOutput code_type {code!r} "
+                    "(only CENTER_SIZE — the SSD deploys' setting)")
+            nms = p.get("nms_param", {})
+            attrs = {
+                "num_classes": int(p["num_classes"]),
+                "share_location": bool(p.get("share_location", True)),
+                "background_label_id":
+                    int(p.get("background_label_id", 0)),
+                "nms_threshold": float(nms.get("nms_threshold", 0.3)),
+                "nms_top_k": int(nms.get("top_k", 400)),
+                # proto default -1 = unbounded; static shapes need a cap
+                "keep_top_k": _i32(p["keep_top_k"])
+                if _i32(p.get("keep_top_k", -1)) > 0
+                else int(nms.get("top_k", 400)),
+                "confidence_threshold":
+                    float(p.get("confidence_threshold", 0.01)),
+            }
+            op = "DetectionOutput"
         elif ltype == "ArgMax":
             p = layer.get("argmax_param", {})
             attrs = {"top_k": int(p.get("top_k", 1)),
@@ -361,7 +422,7 @@ class Converter:
             op = "Flatten"
         elif ltype == "Reshape":
             p = layer.get("reshape_param", {})
-            dims = [int(x) for x in _as_list(p.get("shape", {}).get("dim"))]
+            dims = [_i32(x) for x in _as_list(p.get("shape", {}).get("dim"))]
             # NCHW reshape spec -> NHWC equivalent (rank-4 only)
             attrs["shape"] = self._nchw_to_nhwc(dims) if len(dims) == 4 \
                 else dims

@@ -26,6 +26,8 @@ REPEATED_KEYS = {
     "input_shape", "kernel_size", "stride", "pad", "dilation",
     "slice_point", "coeff", "loss_weight", "param", "blobs", "shape",
     "include", "exclude",
+    # ssd fork (PermuteParameter.order, PriorBoxParameter fields)
+    "order", "min_size", "max_size", "aspect_ratio", "variance",
 }
 
 
