@@ -88,6 +88,8 @@ BEST_BATCH = {
     "deeplab_largefov": 16,
     # PSPNet-50 at 473x473: ~0.5 TFLOP/img dilated backbone
     "pspnet50": 4,
+    # SSD detectors at 300x300 (DetectionOutput NMS included in the loop)
+    "mobilenet_ssd": 128, "vgg16_ssd300": 32,
 }
 
 
@@ -110,7 +112,13 @@ def bench_model(name: str, batch: int, dtype: str, backend: str,
     from feathercnn_tpu import Engine, EngineConfig
     from feathercnn_tpu.models import MODEL_BUILDERS
 
-    g = MODEL_BUILDERS[name](batch=batch, with_softmax=False)
+    import inspect
+
+    builder = MODEL_BUILDERS[name]
+    kw = {}
+    if "with_softmax" in inspect.signature(builder).parameters:
+        kw["with_softmax"] = False   # classifier argmax is scale-invariant
+    g = builder(batch=batch, **kw)
     if fuse_chains and "chain_regions" not in g.meta:
         # zoo graphs carry no autotuned region table; --fuse-chains is a
         # measurement flag, so fuse everything eligible (the measured
@@ -123,7 +131,7 @@ def bench_model(name: str, batch: int, dtype: str, backend: str,
         # scales are batch-independent) so we don't compile the big batch
         # twice.
         from feathercnn_tpu.quant import calibrate
-        g_cal = MODEL_BUILDERS[name](batch=8, with_softmax=False)
+        g_cal = builder(batch=8, **kw)
         rng = np.random.default_rng(1)
         spec0 = next(iter(g_cal.inputs.values()))
         cal = [rng.normal(size=spec0.shape).astype(np.float32)]

@@ -48,7 +48,11 @@ def engine_loop(eng, x=None):
                 xi = x + jnp.asarray(i, x.dtype) * jnp.asarray(1e-6,
                                                                x.dtype)
             out = fwd(params, {in_name: xi})
-            return carry + out[first_out].ravel()[0].astype(jnp.float32)
+            # Reduce over the WHOLE output: a single element can be a
+            # data-independent constant (DetectionOutput's img_id column),
+            # which lets XLA dead-code the entire network.  The full-sum
+            # reduction is <1 us at any output shape here.
+            return carry + jnp.sum(out[first_out].astype(jnp.float32))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     return loop, params, jax.device_put(jnp.asarray(x))
