@@ -88,8 +88,10 @@ BEST_BATCH = {
     "deeplab_largefov": 16,
     # PSPNet-50 at 473x473: ~0.5 TFLOP/img dilated backbone
     "pspnet50": 4,
-    # SSD detectors at 300x300 (DetectionOutput NMS included in the loop)
-    "mobilenet_ssd": 128, "vgg16_ssd300": 32,
+    # SSD detectors at 300x300 (DetectionOutput NMS included in the
+    # loop); paired sweeps: mobilenet_ssd b128 > b256 > b64, vgg16_ssd300
+    # flat 16-64 (compute-bound) — take b16 for latency
+    "mobilenet_ssd": 128, "vgg16_ssd300": 16,
 }
 
 

@@ -57,13 +57,19 @@ def main():
     rootbench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(rootbench)
 
+    import inspect
+    builder = MODEL_BUILDERS[args.model]
+    bkw = {}
+    if "with_softmax" in inspect.signature(builder).parameters:
+        bkw["with_softmax"] = False
+
     loops = {}
     flops = {}
     configs = [(b, v) for b in batches for v in variants]
     for b, variant in configs:
-        g = MODEL_BUILDERS[args.model](batch=b, with_softmax=False)
+        g = builder(batch=b, **bkw)
         if args.quant == "w8a8":
-            g_cal = MODEL_BUILDERS[args.model](batch=8, with_softmax=False)
+            g_cal = builder(batch=8, **bkw)
             rng = np.random.default_rng(1)
             spec0 = next(iter(g_cal.inputs.values()))
             calibrate(g_cal, [rng.normal(size=spec0.shape

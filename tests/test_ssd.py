@@ -323,6 +323,68 @@ def test_ssd_zoo_prior_counts(builder, n_priors):
     assert g.specs["mbox_loc"].shape == (1, n_priors * 4)
 
 
+def _mini_ssd(batch=2, seed=3):
+    """Small two-source SSD for engine-level tests (CPU-fast)."""
+    from feathercnn_tpu.models.builder import GraphBuilder
+    from feathercnn_tpu.models.zoo import _ssd_head
+    b = GraphBuilder("mini_ssd", seed)
+    data = b.input("data", (batch, 32, 32, 3))
+    x = b.conv("c1", data, 16, 3, stride=2, pad=1, relu=True)
+    x = b.conv("c2", x, 32, 3, stride=2, pad=1, relu=True)
+    s1 = b.normalize("c2_norm", x, init_scale=10.0)       # 8x8
+    s2 = b.conv("c3", x, 64, 3, stride=2, pad=1, relu=True)  # 4x4
+    out = _ssd_head(b, data, [
+        (s1, 3, {"min_sizes": [6.0], "aspect_ratios": [2.0]}),
+        (s2, 6, {"min_sizes": [12.0], "max_sizes": [20.0],
+                 "aspect_ratios": [2.0, 3.0]}),
+    ], num_classes=4, keep_top_k=20, nms_top_k=32,
+        confidence_threshold=0.05)
+    return b.finish([out])
+
+
+def test_ssd_int8_vs_fp(rng):
+    """w8a8 on an SSD graph: the int8-edge rewrite must leave the
+    detection head (Permute/Normalize/PriorBox/DetectionOutput) on float
+    edges, and quantized loc/conf stay close enough that the top
+    detection survives with matching label and box."""
+    from feathercnn_tpu import EngineConfig
+    from feathercnn_tpu.quant import calibrate
+    g = _mini_ssd()
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    calibrate(g, [x], method="max")
+    fp = Engine(_mini_ssd())
+    q = Engine(g, EngineConfig(quant="w8a8"))
+    loc_fp = np.asarray(fp.run(x, extract=["mbox_loc"])["mbox_loc"])
+    loc_q = np.asarray(q.run(x, extract=["mbox_loc"])["mbox_loc"])
+    cos = (loc_fp * loc_q).sum() / (
+        np.linalg.norm(loc_fp) * np.linalg.norm(loc_q))
+    assert cos > 0.99
+    det_fp = np.asarray(fp(x))
+    det_q = np.asarray(q(x))
+    for n in range(2):
+        a, b = det_fp[n, 0], det_q[n, 0]   # top detection per image
+        assert a[1] == b[1]
+        np.testing.assert_allclose(a[3:], b[3:], atol=0.05)
+
+
+def test_ssd_engine_under_mesh(rng):
+    """Batch-sharded SSD under the (2,4) GSPMD mesh matches
+    single-device: exercises approx_max_k, the one-hot MXU gather, and
+    the NMS while_loop under pjit partitioning."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from feathercnn_tpu import EngineConfig
+    from feathercnn_tpu.parallel import ShardingConfig
+    g = _mini_ssd(batch=8)
+    x = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    ref = np.asarray(Engine(_mini_ssd(batch=8))(x))
+    eng = Engine(g, EngineConfig(
+        sharding=ShardingConfig(mesh_shape=(2, 4))))
+    out = np.asarray(eng(x))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_mobilenet_ssd_end_to_end(rng):
     """Whole-model smoke: valid (N, keep, 7) rows, per-image ids, labels
     in range, scores above the configured threshold, descending."""

@@ -30,14 +30,22 @@ from feathercnn_tpu.models import MODEL_BUILDERS
 from feathercnn_tpu.quant import calibrate
 model, batch, quant, dtype, xpath, opath = sys.argv[1:7]
 quant = None if quant == "none" else quant
-g = MODEL_BUILDERS[model](batch=int(batch), with_softmax=False)
+import inspect
+builder = MODEL_BUILDERS[model]
+kw = dict(with_softmax=False) if "with_softmax" in \
+    inspect.signature(builder).parameters else dict()
+g = builder(batch=int(batch), **kw)
 x = np.load(xpath)
 if quant == "w8a8":
     calibrate(g, [x], method="max")
 cfg = EngineConfig(compute_dtype=dtype, backend="pallas", quant=quant,
                    interpret=True, algo_overrides=(("*", "xla"),))
-out = np.asarray(Engine(g, cfg)(x), np.float32)
-np.save(opath, out)
+eng = Engine(g, cfg)
+det = next((n for n in g.nodes if n.op == "DetectionOutput"), None)
+extract = list(det.inputs[:2]) if det is not None else []
+res = eng.run(x, extract=extract)
+np.savez(opath, **dict(
+    (k, np.asarray(v, np.float32)) for k, v in res.items()))
 """
 
 
@@ -60,13 +68,17 @@ def main():
     from feathercnn_tpu.models import MODEL_BUILDERS
     from feathercnn_tpu.quant import calibrate
 
-    g = MODEL_BUILDERS[args.model](batch=args.batch, with_softmax=False)
+    import inspect
+    builder = MODEL_BUILDERS[args.model]
+    kw = {"with_softmax": False} if "with_softmax" in \
+        inspect.signature(builder).parameters else {}
+    g = builder(batch=args.batch, **kw)
     spec = next(iter(g.inputs.values()))
     x = np.random.default_rng(0).normal(size=spec.shape).astype(np.float32)
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with tempfile.TemporaryDirectory() as td:
-        xp, op = os.path.join(td, "x.npy"), os.path.join(td, "o.npy")
+        xp, op = os.path.join(td, "x.npy"), os.path.join(td, "o.npz")
         np.save(xp, x)
         # CPU oracle in a subprocess (the axon sitecustomize grabs the
         # TPU in-process; a child with jax_platforms=cpu stays off it)
@@ -76,7 +88,7 @@ def main():
              args.dtype, xp, op],
             check=True, env={**os.environ, "PALLAS_AXON_POOL_IPS": "",
                              "JAX_PLATFORMS": "cpu"})
-        ref = np.load(op)
+        refs = dict(np.load(op))
 
     if quant == "w8a8":
         calibrate(g, [x], method="max")
@@ -84,7 +96,46 @@ def main():
                        quant=quant, algo_overrides=(("*", "xla"),))
     import jax
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
-    out = np.asarray(Engine(g, cfg)(x), np.float32)
+    eng = Engine(g, cfg)
+    det = next((n for n in g.nodes if n.op == "DetectionOutput"), None)
+    extract = list(det.inputs[:2]) if det is not None else []
+    res = eng.run(x, extract=extract)
+    out = np.asarray(res[g.outputs[0]], np.float32)
+    ref = refs[g.outputs[0]]
+
+    if det is not None:
+        # Gate on the pre-NMS loc/conf tensors: with near-tied scores
+        # (random weights especially) sub-1e-3 numeric differences
+        # reorder the greedy NMS chaotically, so row identity between
+        # backends is not a meaningful miscompile signal — the detection
+        # row match is reported as information only.
+        cos_min = 1.0
+        for name in extract:
+            a = np.asarray(res[name], np.float32).ravel()
+            b = refs[name].ravel()
+            c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)
+                               + 1e-12))
+            print(f"  {name}: cosine={c:.6f}", file=sys.stderr)
+            cos_min = min(cos_min, c)
+        matched = total = 0
+        for n in range(args.batch):
+            va = out[n][out[n][:, 1] >= 0]
+            vb = ref[n][ref[n][:, 1] >= 0]
+            k = min(len(va), len(vb))
+            total += max(len(va), len(vb))
+            for ra, rb in zip(va[:k], vb[:k]):
+                lt = np.maximum(ra[3:5], rb[3:5])
+                rbr = np.minimum(ra[5:7], rb[5:7])
+                inter = np.prod(np.maximum(rbr - lt, 0))
+                ua = np.prod(np.maximum(ra[5:7] - ra[3:5], 0)) \
+                    + np.prod(np.maximum(rb[5:7] - rb[3:5], 0)) - inter
+                if ra[1] == rb[1] and inter / max(ua, 1e-10) > 0.8:
+                    matched += 1
+        rate = matched / max(total, 1)
+        print(f"{args.model} {args.quant} b{args.batch}: TPU-vs-CPU "
+              f"loc/conf cosine={cos_min:.6f}  (info: detection row "
+              f"match {rate:.3f}, {matched}/{total})")
+        sys.exit(0 if cos_min >= args.min_cosine else 1)
 
     a, b = out.ravel(), ref.ravel()
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
