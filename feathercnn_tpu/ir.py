@@ -387,8 +387,20 @@ def _elementwise_shape(node, in_specs, graph):
 
 for _op in ["ReLU", "ReLU6", "PReLU", "Sigmoid", "TanH", "BatchNorm",
             "Scale", "Dropout", "Power", "AbsVal", "LRN", "Softmax",
-            "Split", "Bias", "ELU", "Exp", "Log", "BNLL"]:
+            "Split", "Bias", "ELU", "Exp", "Log", "BNLL", "Threshold"]:
     register_shape_fn(_op)(_elementwise_shape)
+
+
+@register_shape_fn("ShuffleChannel")
+def _shuffle_channel_shape(node, in_specs, graph):
+    """ShuffleNet's channel shuffle (the public caffe-ShuffleNet fork's
+    ShuffleChannelLayer): a pure permutation of the channel axis."""
+    g = int(node.attrs.get("group", 1))
+    c = in_specs[0].shape[-1]
+    if c % g:
+        raise ValueError(
+            f"{node.name}: channels {c} not divisible by group {g}")
+    return [in_specs[0]]
 
 
 @register_shape_fn("FusedBottleneck")

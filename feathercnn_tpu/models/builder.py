@@ -299,6 +299,19 @@ class GraphBuilder:
         self._channels[out] = self._channels[x]
         return out
 
+    def shuffle_channel(self, name: str, x: str, group: int) -> str:
+        """ShuffleNet channel shuffle (caffe-ShuffleNet fork layer)."""
+        out = self._add(Node(name, "ShuffleChannel", [x], [name],
+                             {"group": group}))[0]
+        self._channels[out] = self._channels[x]
+        return out
+
+    def relu6(self, name: str, x: str) -> str:
+        """ReLU6 (MobileNet-v2's clipped activation)."""
+        out = self._add(Node(name, "ReLU6", [x], [name]))[0]
+        self._channels[out] = self._channels[x]
+        return out
+
     def flatten(self, name: str, x: str) -> str:
         out = self._add(Node(name, "Flatten", [x], [name]))[0]
         self._channels[out] = self._channels[x]

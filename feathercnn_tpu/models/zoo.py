@@ -12,7 +12,8 @@ from __future__ import annotations
 from ..ir import Graph
 from .builder import GraphBuilder
 
-__all__ = ["squeezenet_v11", "mobilenet_v1", "vgg16", "resnet50",
+__all__ = ["squeezenet_v11", "mobilenet_v1", "mobilenet_v2",
+           "shufflenet_v1", "vgg16", "resnet50",
            "resnet101", "resnet152", "googlenet", "densenet121",
            "resnext50", "alexnet", "fcn32s", "fcn16s", "fcn8s",
            "mobilenet_ssd", "vgg16_ssd300", "build_model",
@@ -94,6 +95,118 @@ def mobilenet_v1(batch: int = 1, seed: int = 0, width_mult: float = 1.0,
     x = dw_sep(14, x, c(1024), 1)
     x = b.pool("pool6", x, 0, mode="AVE", global_pooling=True)
     x = b.fc("fc7", x, 1000)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    return b.finish([x])
+
+
+def mobilenet_v2(batch: int = 1, seed: int = 0, width_mult: float = 1.0,
+                 with_softmax: bool = True) -> Graph:
+    """MobileNet-v2 (224x224), the public caffe deploy structure
+    (shicai/MobileNet-Caffe mobilenet_v2_deploy.prototxt): inverted
+    residual blocks — 1x1 expand + ReLU6, 3x3 depthwise + ReLU6, 1x1
+    linear project — with Eltwise-SUM shortcuts on the stride-1
+    equal-channel blocks and BatchNorm+Scale after every conv."""
+    b = GraphBuilder("mobilenet_v2", seed)
+
+    def c(ch):
+        return max(8, int(ch * width_mult))
+
+    def conv_bn(name, x, ch, kernel=1, stride=1, pad=0, group=1,
+                relu6=True):
+        x = b.conv(name, x, ch, kernel, stride, pad, group=group,
+                   bias=False)
+        x = b.bn_scale(name + "_bnsc", x)
+        if relu6:
+            x = b.relu6(name + "/relu6", x)
+        return x
+
+    def inverted_residual(name, x, ch, stride, expand):
+        cin = b._channels[x]
+        y = x
+        if expand != 1:
+            y = conv_bn(name + "/expand", y, cin * expand, 1)
+        y = conv_bn(name + "/dwise", y, b._channels[y], 3, stride, 1,
+                    group=b._channels[y])
+        y = conv_bn(name + "/linear", y, ch, 1, relu6=False)
+        if stride == 1 and cin == ch:
+            return b.eltwise(name + "/add", [x, y])
+        return y
+
+    x = b.input("data", (batch, 224, 224, 3))
+    x = conv_bn("conv1", x, c(32), 3, 2, 1)
+    # (expand_ratio, out_ch, repeats, first_stride) per the v2 paper /
+    # deploy: 16/24/32/64/96/160/320 stages
+    cfg = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+           (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
+    blk = 0
+    for t, ch, n, s in cfg:
+        for i in range(n):
+            blk += 1
+            x = inverted_residual(f"block{blk}", x, c(ch),
+                                  s if i == 0 else 1, t)
+    x = conv_bn("conv9", x, max(c(1280), 1280), 1)
+    x = b.pool("pool10", x, 0, mode="AVE", global_pooling=True)
+    x = b.fc("fc11", x, 1000)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    return b.finish([x])
+
+
+def shufflenet_v1(batch: int = 1, seed: int = 0, groups: int = 3,
+                  with_softmax: bool = True) -> Graph:
+    """ShuffleNet v1 (224x224), the public caffe-ShuffleNet deploy
+    structure (farmingyard/caffe-ShuffleNet, 1x g=3 by default): grouped
+    1x1 convs + ShuffleChannel + depthwise 3x3, stride-2 units concat an
+    AVE-pooled shortcut, stride-1 units use Eltwise-SUM residuals.
+    Exercises the ShuffleChannel permutation between grouped convs (the
+    int8 edge must ride through it)."""
+    stage_out = {1: [144, 288, 576], 2: [200, 400, 800],
+                 3: [240, 480, 960], 4: [272, 544, 1088],
+                 8: [384, 768, 1536]}[groups]
+    b = GraphBuilder("shufflenet_v1", seed)
+
+    def gconv_bn(name, x, ch, group, relu=False):
+        x = b.conv(name, x, ch, 1, group=group, bias=False)
+        x = b.bn_scale(name + "_bnsc", x)
+        if relu:
+            x = b.relu(name + "_relu", x)
+        return x
+
+    def unit(name, x, out_ch, stride, first=False):
+        cin = b._channels[x]
+        mid = out_ch // 4
+        y = gconv_bn(name + "_conv1", x, mid, 1 if first else groups,
+                     relu=True)
+        if groups > 1:
+            y = b.shuffle_channel(name + "_shuffle", y, groups)
+        y = b.conv(name + "_conv2", y, mid, 3, stride, 1, group=mid,
+                   bias=False)
+        y = b.bn_scale(name + "_conv2_bnsc", y)
+        y = gconv_bn(name + "_conv3", y,
+                     out_ch - cin if stride == 2 else out_ch, groups)
+        if stride == 2:
+            # caffe deploy: 3x3 s2 AVE pool, no pad (ceil -> floor match)
+            sc = b.pool(name + "_avepool", x, 3, 2, mode="AVE")
+            out = b.concat(name + "_concat", [sc, y])
+        else:
+            out = b.eltwise(name + "_add", [x, y])
+        return b.relu(name + "_relu", out)
+
+    x = b.input("data", (batch, 224, 224, 3))
+    x = b.conv("conv1", x, 24, 3, stride=2, pad=1, bias=False)
+    x = b.bn_scale("conv1_bnsc", x)
+    x = b.relu("conv1_relu", x)
+    x = b.pool("pool1", x, 3, 2)
+    n = 0
+    for stage, (out_ch, repeats) in enumerate(
+            zip(stage_out, (4, 8, 4)), start=2):
+        for i in range(repeats):
+            n += 1
+            x = unit(f"resx{n}", x, out_ch, stride=2 if i == 0 else 1,
+                     first=(stage == 2 and i == 0))
+    x = b.pool("pool5", x, 0, mode="AVE", global_pooling=True)
+    x = b.fc("fc1000", x, 1000)
     if with_softmax:
         x = b.softmax("prob", x)
     return b.finish([x])
@@ -657,6 +770,8 @@ def vgg16_ssd300(batch: int = 1, seed: int = 0, num_classes: int = 21,
 MODEL_BUILDERS = {
     "squeezenet_v11": squeezenet_v11,
     "mobilenet_v1": mobilenet_v1,
+    "mobilenet_v2": mobilenet_v2,
+    "shufflenet_v1": shufflenet_v1,
     "vgg16": vgg16,
     "resnet50": resnet50,
     "resnet101": resnet101,

@@ -953,6 +953,31 @@ def _lower_lrn(node, inputs, params, ctx):
     return [y.astype(inputs[0].dtype)]
 
 
+@register_lowering("ShuffleChannel")
+def _lower_shuffle_channel(node, inputs, params, ctx):
+    """ShuffleNet channel shuffle: view channels as (group, c/group),
+    transpose, flatten — output channel j*g+i reads input i*(c/g)+j
+    (the caffe-ShuffleNet fork's ShuffleChannelLayer semantics).  A pure
+    permutation: dtype-agnostic, so int8 edges ride through unchanged
+    (quant/rewrite.py lists it scale-transparent)."""
+    x = inputs[0]
+    g = int(node.attrs.get("group", 1))
+    if g == 1:
+        return [x]
+    lead, c = x.shape[:-1], x.shape[-1]
+    x = x.reshape(lead + (g, c // g))
+    x = jnp.swapaxes(x, -1, -2)
+    return [x.reshape(lead + (c,))]
+
+
+@register_lowering("Threshold")
+def _lower_threshold(node, inputs, params, ctx):
+    """Caffe ThresholdLayer: y = (x > threshold) as 0/1 floats."""
+    t = node.attrs.get("threshold", 0.0)
+    x = inputs[0]
+    return [(x > jnp.asarray(t, x.dtype)).astype(x.dtype)]
+
+
 @register_lowering("Flatten")
 def _lower_flatten(node, inputs, params, ctx):
     x = inputs[0]

@@ -77,7 +77,7 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False,
     #   - an int8 Eltwise SUM accepts each operand at its calibrated
     #     value scale (dequant-accumulate in registers);
     #   - a *scale-transparent* op (MAX pooling, Concat, Slice, Split,
-    #     Flatten, Reshape, Dropout) accepts int8 at whatever scale its
+    #     Flatten, Reshape, Dropout, ShuffleChannel) accepts int8 at whatever scale its
     #     own output edge carries — max/concat/reshape commute with the
     #     (monotone, elementwise) quantization, so int8 rides through;
     #   - a *requantizing* Concat (concat_int8) — fallback when the
@@ -98,7 +98,7 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False,
 
     def _transparent(n) -> bool:
         if n.op in ("Concat", "Slice", "Split", "Flatten", "Reshape",
-                    "Dropout"):
+                    "Dropout", "ShuffleChannel"):
             return True
         if n.op == "Pooling":
             return n.attrs.get("pool", "MAX") == "MAX"

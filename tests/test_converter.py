@@ -230,3 +230,35 @@ def test_deconv_crop_conversion_matches_torch(rng):
     ref = up[:, :, 1:9, 1:9].numpy()
     np.testing.assert_allclose(out, np.transpose(ref, (0, 2, 3, 1)),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_shufflechannel_threshold_conversion(rng):
+    """ShuffleChannel (caffe-ShuffleNet fork) and Threshold layers parse
+    from prototxt and execute with the fork's semantics."""
+    txt = '''
+    name: "shuf"
+    input: "data"
+    input_dim: 1 input_dim: 6 input_dim: 4 input_dim: 4
+    layer {
+      name: "shuffle" type: "ShuffleChannel"
+      bottom: "data" top: "shuffle"
+      shuffle_channel_param { group: 3 }
+    }
+    layer {
+      name: "thr" type: "Threshold"
+      bottom: "shuffle" top: "thr"
+      threshold_param { threshold: 0.1 }
+    }
+    '''
+    g = Converter(parse_prototxt(txt)).convert()
+    assert [n.op for n in g.nodes] == ["ShuffleChannel", "Threshold"]
+    assert g.nodes[0].attrs["group"] == 3
+    x = rng.normal(size=(1, 4, 4, 6)).astype(np.float32)
+    y = np.asarray(Engine(g)(x))
+    c, grp = 6, 3
+    perm = np.empty(c, np.int64)
+    for i in range(grp):
+        for j in range(c // grp):
+            perm[j * grp + i] = i * (c // grp) + j
+    np.testing.assert_array_equal(y, (x[..., perm] > 0.1)
+                                  .astype(np.float32))

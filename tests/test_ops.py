@@ -190,3 +190,26 @@ def test_argmax_flat_caffe_order(rng):
     np.testing.assert_array_equal(y[:, 0, :], order.astype(np.float32))
     np.testing.assert_allclose(y[:, 1, :],
                                np.take_along_axis(flat, order, 1))
+
+
+def test_shuffle_channel_caffe_semantics(rng):
+    """ShuffleChannel vs the direct index formula of the caffe-ShuffleNet
+    fork: output channel j*g+i reads input channel i*(c/g)+j."""
+    x = rng.normal(size=(2, 4, 4, 12)).astype(np.float32)
+    y = _run_single("ShuffleChannel", {"group": 3}, x)
+    c, g = 12, 3
+    perm = np.empty(c, np.int64)
+    for i in range(g):
+        for j in range(c // g):
+            perm[j * g + i] = i * (c // g) + j
+    np.testing.assert_array_equal(y, x[..., perm])
+    # shuffle twice with transposed grouping = identity
+    y2 = _run_single("ShuffleChannel", {"group": 4},
+                     np.ascontiguousarray(y))
+    np.testing.assert_array_equal(y2, x)
+
+
+def test_threshold_layer(rng):
+    x = rng.normal(size=(2, 3, 3, 5)).astype(np.float32)
+    y = _run_single("Threshold", {"threshold": 0.25}, x)
+    np.testing.assert_array_equal(y, (x > 0.25).astype(np.float32))

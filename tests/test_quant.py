@@ -412,3 +412,29 @@ def test_crop_invalid_geometry_raises(rng):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="crop offset"):
         Engine(g)(np.zeros((1, 10, 10, 4), np.float32))
+
+
+def test_int8_edge_through_shuffle_channel(rng):
+    """ShuffleChannel is a pure channel permutation, so int8 edges ride
+    through it between grouped convs (the ShuffleNet gconv->shuffle->
+    dwconv pattern; quant/rewrite.py transparent set)."""
+    b = GraphBuilder("shuffly", seed=7)
+    x = b.input("data", (2, 8, 8, 8))
+    y = b.conv("stem", x, 16, 3, pad=1, relu=True)
+    y = b.conv("g1", y, 16, 1, group=4, relu=True)
+    y = b.shuffle_channel("shuf", y, 4)
+    y = b.conv("g2", y, 16, 1, group=4, relu=True)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 10)
+    g = b.finish([y])
+
+    xv = rng.normal(size=(2, 8, 8, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    calibrate(g, [xv], method="max")
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 interpret=True))
+    qm = eng.graph.meta["quant"]
+    assert qm["g1"].get("emit_int8") is True
+    assert qm["shuf"].get("passthrough_int8") is True
+    out = np.asarray(eng(xv))
+    assert _cosine(ref, out) > 0.997

@@ -433,6 +433,14 @@ class Converter:
                      "scale": float(p.get("scale", 1.0)),
                      "shift": float(p.get("shift", 0.0))}
             op = "Power"
+        elif ltype == "ShuffleChannel":
+            p = layer.get("shuffle_channel_param", {})
+            attrs["group"] = int(p.get("group", 1))
+            op = "ShuffleChannel"
+        elif ltype == "Threshold":
+            p = layer.get("threshold_param", {})
+            attrs["threshold"] = float(p.get("threshold", 0.0))
+            op = "Threshold"
         elif ltype in ("Sigmoid", "TanH", "AbsVal", "BNLL", "Exp", "Log",
                        "ELU", "Split"):
             op = ltype
