@@ -391,6 +391,21 @@ for _op in ["ReLU", "ReLU6", "PReLU", "Sigmoid", "TanH", "BatchNorm",
     register_shape_fn(_op)(_elementwise_shape)
 
 
+@register_shape_fn("Axpy")
+def _axpy_shape(node, in_specs, graph):
+    """SENet-Caffe's Axpy layer (axpy_layer.cpp): out = a*x + y with
+    bottoms [a (N,1,1,C per-channel gate), x, y] — the fused SE
+    scale-and-residual-add."""
+    s, x, y = in_specs
+    if x.shape != y.shape:
+        raise ValueError(f"{node.name}: Axpy x/y shapes differ "
+                         f"{x.shape} vs {y.shape}")
+    if s.shape[0] != x.shape[0] or s.shape[-1] != x.shape[-1]:
+        raise ValueError(f"{node.name}: Axpy scale shape {s.shape} does "
+                         f"not broadcast over {x.shape}")
+    return [TensorSpec(x.shape, x.dtype)]
+
+
 @register_shape_fn("ShuffleChannel")
 def _shuffle_channel_shape(node, in_specs, graph):
     """ShuffleNet's channel shuffle (the public caffe-ShuffleNet fork's

@@ -299,6 +299,18 @@ class GraphBuilder:
         self._channels[out] = self._channels[x]
         return out
 
+    def sigmoid(self, name: str, x: str) -> str:
+        out = self._add(Node(name, "Sigmoid", [x], [name]))[0]
+        self._channels[out] = self._channels[x]
+        return out
+
+    def axpy(self, name: str, scale: str, x: str, y: str) -> str:
+        """SENet-Caffe Axpy: out = scale*x + y (fused SE gate +
+        residual add)."""
+        out = self._add(Node(name, "Axpy", [scale, x, y], [name]))[0]
+        self._channels[out] = self._channels[x]
+        return out
+
     def shuffle_channel(self, name: str, x: str, group: int) -> str:
         """ShuffleNet channel shuffle (caffe-ShuffleNet fork layer)."""
         out = self._add(Node(name, "ShuffleChannel", [x], [name],

@@ -13,7 +13,7 @@ from ..ir import Graph
 from .builder import GraphBuilder
 
 __all__ = ["squeezenet_v11", "mobilenet_v1", "mobilenet_v2",
-           "shufflenet_v1", "vgg16", "resnet50",
+           "shufflenet_v1", "vgg16", "resnet50", "se_resnet50",
            "resnet101", "resnet152", "googlenet", "densenet121",
            "resnext50", "alexnet", "fcn32s", "fcn16s", "fcn8s",
            "mobilenet_ssd", "vgg16_ssd300", "build_model",
@@ -298,6 +298,55 @@ def resnet152(batch: int = 1, seed: int = 0,
               with_softmax: bool = True) -> Graph:
     """ResNet-152 (Caffe deploy structure)."""
     return _resnet(152, batch, seed, with_softmax)
+
+
+def se_resnet50(batch: int = 1, seed: int = 0, reduction: int = 16,
+                with_softmax: bool = True) -> Graph:
+    """SE-ResNet-50 (224x224), the public SENet-Caffe deploy structure
+    (hujie-frank/SENet SE-ResNet-50.prototxt): ResNet-50 bottlenecks with
+    a squeeze-excite path per block — global AVE pool, 1x1 down (C/16) +
+    ReLU, 1x1 up (C) + Sigmoid — applied through the Axpy layer
+    (gate*residual + shortcut) with fused ReLU."""
+    b = GraphBuilder("se_resnet50", seed)
+
+    def conv_bn(name, x, ch, kernel, stride=1, pad=0, relu=True):
+        x = b.conv(name, x, ch, kernel, stride, pad, bias=False)
+        x = b.bn_scale(name + "/bn", x)
+        if relu:
+            x = b.relu(name + "/relu", x)
+        return x
+
+    def bottleneck(name, x, ch, stride=1, project=False):
+        shortcut = x
+        if project:
+            shortcut = conv_bn(name + "_1x1_proj", x, ch * 4, 1,
+                               stride=stride, relu=False)
+        y = conv_bn(name + "_1x1_reduce", x, ch, 1, stride=stride)
+        y = conv_bn(name + "_3x3", y, ch, 3, pad=1)
+        y = conv_bn(name + "_1x1_increase", y, ch * 4, 1, relu=False)
+        s = b.pool(name + "_global_pool", y, 0, mode="AVE",
+                   global_pooling=True)
+        s = b.conv(name + "_1x1_down", s, ch * 4 // reduction, 1,
+                   relu=True)
+        s = b.conv(name + "_1x1_up", s, ch * 4, 1)
+        s = b.sigmoid(name + "_prob", s)
+        out = b.axpy(name + "_axpy", s, y, shortcut)
+        return b.relu(name + "_relu", out)
+
+    x = b.input("data", (batch, 224, 224, 3))
+    x = conv_bn("conv1", x, 64, 7, stride=2, pad=3)
+    x = b.pool("pool1", x, 3, 2)
+    for stage, (ch, blocks) in enumerate(
+            zip([64, 128, 256, 512], [3, 4, 6, 3]), start=2):
+        for i in range(blocks):
+            stride = 2 if (i == 0 and stage > 2) else 1
+            x = bottleneck(f"conv{stage}_{i + 1}", x, ch, stride=stride,
+                           project=(i == 0))
+    x = b.pool("pool5", x, 0, mode="AVE", global_pooling=True)
+    x = b.fc("classifier", x, 1000)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    return b.finish([x])
 
 
 def googlenet(batch: int = 1, seed: int = 0, with_softmax: bool = True) -> Graph:
@@ -774,6 +823,7 @@ MODEL_BUILDERS = {
     "shufflenet_v1": shufflenet_v1,
     "vgg16": vgg16,
     "resnet50": resnet50,
+    "se_resnet50": se_resnet50,
     "resnet101": resnet101,
     "resnet152": resnet152,
     "googlenet": googlenet,

@@ -813,11 +813,38 @@ def _lower_scale(node, inputs, params, ctx):
         y = apply_activation(y, node.attrs.get("activation"))
         return [jnp.clip(jnp.round(y / q["y_scale"]), -127, 127)
                 .astype(jnp.int8)]
+    if not params and len(inputs) > 1:
+        # two-bottom Scale (Caffe ScaleLayer with a runtime scaler,
+        # e.g. SE gates): broadcast bottom[1] ((N,C) or (N,1,1,C))
+        # over bottom[0]'s spatial dims.
+        gamma = inputs[1]
+        if gamma.ndim < x.ndim:
+            gamma = gamma.reshape((gamma.shape[0],)
+                                  + (1,) * (x.ndim - gamma.ndim)
+                                  + gamma.shape[1:])
+        return [apply_activation(x * gamma.astype(x.dtype),
+                                 node.attrs.get("activation"))]
     gamma = params[0].astype(x.dtype)
     y = x * gamma
     if node.attrs.get("bias_term", False) and len(params) > 1:
         y = y + params[1].astype(x.dtype)
     return [apply_activation(y, node.attrs.get("activation"))]
+
+
+@register_lowering("Axpy")
+def _lower_axpy(node, inputs, params, ctx):
+    """SENet-Caffe Axpy: out = a*x + y, `a` a per-channel gate from the
+    SE squeeze-excite path (global pool -> 1x1 down/up -> sigmoid).
+    Accepts `a` as (N, 1, 1, C) or (N, C); fused trailing ReLU via the
+    activation epilogue (passes.fuse_activation)."""
+    s, x, y = inputs
+    if s.ndim < x.ndim:
+        s = s.reshape((s.shape[0],) + (1,) * (x.ndim - s.ndim)
+                      + s.shape[1:])
+    out = (s.astype(jnp.float32) * x.astype(jnp.float32)
+           + y.astype(jnp.float32))
+    out = apply_activation(out, node.attrs.get("activation"))
+    return [out.astype(x.dtype)]
 
 
 @register_lowering("Bias")

@@ -42,7 +42,7 @@ __all__ = [
 # per-output-channel affine folds (BN/Scale) possible.
 _FOLDABLE = {"Convolution", "InnerProduct"}
 # Ops that support a fused activation epilogue attr.
-_EPILOGUE_OPS = {"Convolution", "InnerProduct", "Eltwise", "Scale"}
+_EPILOGUE_OPS = {"Convolution", "InnerProduct", "Eltwise", "Scale", "Axpy"}
 
 
 def optimize(graph: Graph, merge_siblings: bool = True,
@@ -165,7 +165,8 @@ def fold_scale(graph: Graph) -> None:
     producers = graph.producers()
     keep: List[Node] = []
     for n in graph.nodes:
-        if n.op != "Scale":
+        if n.op != "Scale" or not n.params:
+            # two-bottom Scale (runtime scaler, SE gates) can't fold
             keep.append(n)
             continue
         prod = producers.get(n.inputs[0])

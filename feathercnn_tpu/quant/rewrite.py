@@ -210,7 +210,9 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False,
                 # passthrough proven impossible — fall back to the
                 # requantizing concat (each input at its own scale)
                 _try_concat_int8(n)
-            elif n.op in ("Scale", "LRN") and requant_ops:
+            elif n.op in ("Scale", "LRN") and requant_ops \
+                    and len(n.inputs) == 1:
+                # two-bottom Scale (runtime scaler, SE-style) stays float
                 xs = value_scales.get(n.inputs[0])
                 y_scale = _edge_scale_for(n.outputs[0])
                 if xs is not None and y_scale is not None:

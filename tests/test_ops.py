@@ -213,3 +213,30 @@ def test_threshold_layer(rng):
     x = rng.normal(size=(2, 3, 3, 5)).astype(np.float32)
     y = _run_single("Threshold", {"threshold": 0.25}, x)
     np.testing.assert_array_equal(y, (x > 0.25).astype(np.float32))
+
+
+def test_axpy_se_semantics(rng):
+    """Axpy (SENet-Caffe axpy_layer.cpp): out = a*x + y with a per-channel
+    (N,1,1,C) gate; trailing ReLU fuses into its epilogue."""
+    a = rng.random(size=(2, 1, 1, 6)).astype(np.float32)
+    x = rng.normal(size=(2, 4, 4, 6)).astype(np.float32)
+    y = rng.normal(size=(2, 4, 4, 6)).astype(np.float32)
+    g = Graph("t", {"a": TensorSpec(a.shape), "x": TensorSpec(x.shape),
+                    "y": TensorSpec(y.shape)}, ["out"],
+              [Node("n", "Axpy", ["a", "x", "y"], ["out"], {})])
+    got = np.asarray(Engine(g, optimize_graph=False).run(
+        {"a": a, "x": x, "y": y})["out"])
+    np.testing.assert_allclose(got, a * x + y, rtol=1e-6, atol=1e-6)
+
+
+def test_scale_two_bottom_broadcast(rng):
+    """Caffe ScaleLayer with a runtime second bottom (SE-style gate):
+    bottom[1] (N,1,1,C) broadcasts over bottom[0]'s spatial dims."""
+    x = rng.normal(size=(2, 4, 4, 6)).astype(np.float32)
+    s = rng.random(size=(2, 1, 1, 6)).astype(np.float32)
+    g = Graph("t", {"x": TensorSpec(x.shape), "s": TensorSpec(s.shape)},
+              ["out"],
+              [Node("n", "Scale", ["x", "s"], ["out"], {})])
+    got = np.asarray(Engine(g, optimize_graph=False).run(
+        {"x": x, "s": s})["out"])
+    np.testing.assert_allclose(got, x * s, rtol=1e-6, atol=1e-6)

@@ -433,6 +433,9 @@ class Converter:
                      "scale": float(p.get("scale", 1.0)),
                      "shift": float(p.get("shift", 0.0))}
             op = "Power"
+        elif ltype == "Axpy":
+            # SENet-Caffe's custom layer: bottoms [gate, x, y] -> a*x+y
+            op = "Axpy"
         elif ltype == "ShuffleChannel":
             p = layer.get("shuffle_channel_param", {})
             attrs["group"] = int(p.get("group", 1))
