@@ -14,7 +14,8 @@ from .builder import GraphBuilder
 
 __all__ = ["squeezenet_v11", "mobilenet_v1", "mobilenet_v2",
            "shufflenet_v1", "vgg16", "resnet50", "se_resnet50",
-           "resnet101", "resnet152", "googlenet", "densenet121",
+           "resnet101", "resnet152", "googlenet", "inception_v3",
+           "densenet121",
            "resnext50", "alexnet", "fcn32s", "fcn16s", "fcn8s",
            "mobilenet_ssd", "vgg16_ssd300", "build_model",
            "MODEL_BUILDERS"]
@@ -394,6 +395,99 @@ def googlenet(batch: int = 1, seed: int = 0, with_softmax: bool = True) -> Graph
     # this VPU-bound model 3.9% paired — keep passthrough-only edges.
     g.meta["config_overrides"] = {"int8_requant_ops": False}
     return g
+
+
+def inception_v3(batch: int = 1, seed: int = 0,
+                 with_softmax: bool = True) -> Graph:
+    """Inception-v3 (299x299), the public Caffe deploy structure
+    (soeaver/caffe-model inception_v3 deploy): factorized 7x7 (1x7/7x1)
+    and 3x3 (1x3/3x1) branches with conv+BN+Scale+ReLU throughout —
+    exercises asymmetric kernels/pads on the MXU path."""
+    b = GraphBuilder("inception_v3", seed)
+
+    def cbr(name, x, ch, kh=1, kw=None, stride=1, ph=0, pw=None):
+        kw = kh if kw is None else kw
+        pw = ph if pw is None else pw
+        x = b.conv(name, x, ch, stride=stride, bias=False,
+                   kernel_h=kh, kernel_w=kw, pad_h=ph, pad_w=pw)
+        x = b.bn_scale(name + "_bnsc", x)
+        return b.relu(name + "/relu", x)
+
+    def module_a(name, x, pool_proj):
+        b1 = cbr(f"{name}_1x1", x, 64)
+        b2 = cbr(f"{name}_5x5_reduce", x, 48)
+        b2 = cbr(f"{name}_5x5", b2, 64, 5, ph=2)
+        b3 = cbr(f"{name}_3x3_reduce", x, 64)
+        b3 = cbr(f"{name}_3x3_1", b3, 96, 3, ph=1)
+        b3 = cbr(f"{name}_3x3_2", b3, 96, 3, ph=1)
+        bp = b.pool(f"{name}_pool", x, 3, 1, pad=1, mode="AVE")
+        bp = cbr(f"{name}_pool_proj", bp, pool_proj)
+        return b.concat(f"{name}_concat", [b1, b2, b3, bp])
+
+    def module_b(name, x, c7):
+        b1 = cbr(f"{name}_1x1", x, 192)
+        b2 = cbr(f"{name}_1x7_reduce", x, c7)
+        b2 = cbr(f"{name}_1x7", b2, c7, 1, 7, ph=0, pw=3)
+        b2 = cbr(f"{name}_7x1", b2, 192, 7, 1, ph=3, pw=0)
+        b3 = cbr(f"{name}_7x1_reduce", x, c7)
+        b3 = cbr(f"{name}_7x1_2", b3, c7, 7, 1, ph=3, pw=0)
+        b3 = cbr(f"{name}_1x7_2", b3, c7, 1, 7, ph=0, pw=3)
+        b3 = cbr(f"{name}_7x1_3", b3, c7, 7, 1, ph=3, pw=0)
+        b3 = cbr(f"{name}_1x7_3", b3, 192, 1, 7, ph=0, pw=3)
+        bp = b.pool(f"{name}_pool", x, 3, 1, pad=1, mode="AVE")
+        bp = cbr(f"{name}_pool_proj", bp, 192)
+        return b.concat(f"{name}_concat", [b1, b2, b3, bp])
+
+    def module_c(name, x):
+        b1 = cbr(f"{name}_1x1", x, 320)
+        b2 = cbr(f"{name}_3x3_reduce", x, 384)
+        b2a = cbr(f"{name}_1x3", b2, 384, 1, 3, ph=0, pw=1)
+        b2b = cbr(f"{name}_3x1", b2, 384, 3, 1, ph=1, pw=0)
+        b3 = cbr(f"{name}_dbl_3x3_reduce", x, 448)
+        b3 = cbr(f"{name}_dbl_3x3", b3, 384, 3, ph=1)
+        b3a = cbr(f"{name}_dbl_1x3", b3, 384, 1, 3, ph=0, pw=1)
+        b3b = cbr(f"{name}_dbl_3x1", b3, 384, 3, 1, ph=1, pw=0)
+        bp = b.pool(f"{name}_pool", x, 3, 1, pad=1, mode="AVE")
+        bp = cbr(f"{name}_pool_proj", bp, 192)
+        return b.concat(f"{name}_concat", [b1, b2a, b2b, b3a, b3b, bp])
+
+    x = b.input("data", (batch, 299, 299, 3))
+    x = cbr("conv1_3x3_s2", x, 32, 3, stride=2)        # 149
+    x = cbr("conv2_3x3", x, 32, 3)                     # 147
+    x = cbr("conv3_3x3", x, 64, 3, ph=1)               # 147
+    x = b.pool("pool1_3x3_s2", x, 3, 2)                # 73
+    x = cbr("conv4_1x1", x, 80)
+    x = cbr("conv5_3x3", x, 192, 3)                    # 71
+    x = b.pool("pool2_3x3_s2", x, 3, 2)                # 35
+    x = module_a("mixed", x, 32)                       # 256
+    x = module_a("mixed_1", x, 64)                     # 288
+    x = module_a("mixed_2", x, 64)                     # 288
+    # reduction A -> 17x17x768
+    r1 = cbr("mixed_3_3x3_s2", x, 384, 3, stride=2)
+    r2 = cbr("mixed_3_3x3_reduce", x, 64)
+    r2 = cbr("mixed_3_3x3_1", r2, 96, 3, ph=1)
+    r2 = cbr("mixed_3_3x3_2", r2, 96, 3, stride=2)
+    rp = b.pool("mixed_3_pool", x, 3, 2)
+    x = b.concat("mixed_3_concat", [r1, r2, rp])
+    for i, c7 in zip(range(4, 8), (128, 160, 160, 192)):
+        x = module_b(f"mixed_{i}", x, c7)
+    # reduction B -> 8x8x1280
+    r1 = cbr("mixed_8_1x1", x, 192)
+    r1 = cbr("mixed_8_3x3_s2", r1, 320, 3, stride=2)
+    r2 = cbr("mixed_8_1x7_reduce", x, 192)
+    r2 = cbr("mixed_8_1x7", r2, 192, 1, 7, ph=0, pw=3)
+    r2 = cbr("mixed_8_7x1", r2, 192, 7, 1, ph=3, pw=0)
+    r2 = cbr("mixed_8_3x3", r2, 192, 3, stride=2)
+    rp = b.pool("mixed_8_pool", x, 3, 2)
+    x = b.concat("mixed_8_concat", [r1, r2, rp])
+    x = module_c("mixed_9", x)                         # 2048
+    x = module_c("mixed_10", x)
+    x = b.pool("pool3_8x8_s1", x, 0, mode="AVE", global_pooling=True)
+    x = b.dropout("drop", x)
+    x = b.fc("classifier", x, 1000)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    return b.finish([x])
 
 
 def densenet121(batch: int = 1, seed: int = 0,
@@ -827,6 +921,7 @@ MODEL_BUILDERS = {
     "resnet101": resnet101,
     "resnet152": resnet152,
     "googlenet": googlenet,
+    "inception_v3": inception_v3,
     "densenet121": densenet121,
     "resnext50": resnext50,
     "alexnet": alexnet,
