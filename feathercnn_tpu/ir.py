@@ -387,8 +387,38 @@ def _elementwise_shape(node, in_specs, graph):
 
 for _op in ["ReLU", "ReLU6", "PReLU", "Sigmoid", "TanH", "BatchNorm",
             "Scale", "Dropout", "Power", "AbsVal", "LRN", "Softmax",
-            "Split", "Bias", "ELU", "Exp", "Log", "BNLL", "Threshold"]:
+            "Split", "Bias", "ELU", "Exp", "Log", "BNLL", "Threshold",
+            "MVN"]:
     register_shape_fn(_op)(_elementwise_shape)
+
+
+@register_shape_fn("Tile")
+def _tile_shape(node, in_specs, graph):
+    """Caffe TileLayer: repeat the whole tensor `tiles` times along one
+    axis.  `axis` arrives in NHWC terms (the converter remaps Caffe's
+    NCHW axis)."""
+    axis = node.attrs.get("axis", -1) % in_specs[0].rank
+    tiles = int(node.attrs.get("tiles", 1))
+    shape = list(in_specs[0].shape)
+    shape[axis] *= tiles
+    return [TensorSpec(tuple(shape), in_specs[0].dtype)]
+
+
+@register_shape_fn("Reduction")
+def _reduction_shape(node, in_specs, graph):
+    """Caffe ReductionLayer: reduce ALL dims from `axis` (Caffe NCHW
+    terms, canonicalized non-negative) to the end; output keeps Caffe's
+    leading-dim order (rank-4 NHWC inputs are transposed to NCHW in the
+    lowering before reducing)."""
+    axis = int(node.attrs.get("axis", 0))
+    shape = in_specs[0].shape
+    if len(shape) == 4:
+        n, h, w, c = shape
+        shape = (n, c, h, w)
+    if not 0 <= axis <= len(shape):
+        raise ValueError(f"{node.name}: Reduction axis {axis} out of "
+                         f"range for rank {len(shape)}")
+    return [TensorSpec(tuple(shape[:axis]), "float32")]
 
 
 @register_shape_fn("Axpy")

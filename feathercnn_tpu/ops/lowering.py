@@ -997,6 +997,62 @@ def _lower_shuffle_channel(node, inputs, params, ctx):
     return [x.reshape(lead + (c,))]
 
 
+@register_lowering("MVN")
+def _lower_mvn(node, inputs, params, ctx):
+    """Caffe MVNLayer: per-image mean (and optionally variance)
+    normalization — across_channels picks C+H+W vs per-channel H+W."""
+    x = inputs[0].astype(jnp.float32)
+    axes = (1, 2, 3) if node.attrs.get("across_channels") else (1, 2)
+    if x.ndim == 2:
+        axes = (1,)
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    y = x - mean
+    if node.attrs.get("normalize_variance", True):
+        # Caffe divides by stddev + eps (not sqrt(var + eps))
+        std = jnp.sqrt(jnp.mean(y * y, axis=axes, keepdims=True))
+        y = y / (std + node.attrs.get("eps", 1e-9))
+    return [y.astype(inputs[0].dtype)]
+
+
+@register_lowering("Tile")
+def _lower_tile(node, inputs, params, ctx):
+    """Caffe TileLayer: whole-block repeat along one axis
+    ([A,B] x2 -> [A,B,A,B])."""
+    x = inputs[0]
+    axis = node.attrs.get("axis", -1) % x.ndim
+    tiles = int(node.attrs.get("tiles", 1))
+    reps = [1] * x.ndim
+    reps[axis] = tiles
+    return [jnp.tile(x, reps)]
+
+
+@register_lowering("Reduction")
+def _lower_reduction(node, inputs, params, ctx):
+    """Caffe ReductionLayer: SUM/ASUM/SUMSQ/MEAN over all dims >= axis
+    (NCHW terms), scaled by coeff.  Rank-4 NHWC inputs transpose to NCHW
+    first so the output keeps Caffe's dim order."""
+    x = inputs[0].astype(jnp.float32)
+    if x.ndim == 4:
+        x = jnp.transpose(x, (0, 3, 1, 2))
+    axis = int(node.attrs.get("axis", 0))
+    op = node.attrs.get("operation", "SUM")
+    axes = tuple(range(axis, x.ndim))
+    if op == "ASUM":
+        y = jnp.sum(jnp.abs(x), axis=axes)
+    elif op == "SUMSQ":
+        y = jnp.sum(x * x, axis=axes)
+    elif op == "MEAN":
+        y = jnp.mean(x, axis=axes)
+    elif op == "SUM":
+        y = jnp.sum(x, axis=axes)
+    else:
+        raise ValueError(f"unknown Reduction operation {op!r}")
+    coeff = node.attrs.get("coeff", 1.0)
+    if coeff != 1.0:
+        y = y * coeff
+    return [y]
+
+
 @register_lowering("Threshold")
 def _lower_threshold(node, inputs, params, ctx):
     """Caffe ThresholdLayer: y = (x > threshold) as 0/1 floats."""

@@ -240,3 +240,44 @@ def test_scale_two_bottom_broadcast(rng):
     got = np.asarray(Engine(g, optimize_graph=False).run(
         {"x": x, "s": s})["out"])
     np.testing.assert_allclose(got, x * s, rtol=1e-6, atol=1e-6)
+
+
+def test_mvn_vs_numpy(rng):
+    """MVN: per-channel and across-channels forms vs a direct numpy
+    oracle (Caffe divides by stddev + eps)."""
+    x = rng.normal(2.0, 3.0, size=(2, 5, 5, 4)).astype(np.float32)
+    y = _run_single("MVN", {}, x)
+    m = x.mean(axis=(1, 2), keepdims=True)
+    sd = np.sqrt(((x - m) ** 2).mean(axis=(1, 2), keepdims=True))
+    np.testing.assert_allclose(y, (x - m) / (sd + 1e-9), rtol=1e-4,
+                               atol=1e-5)
+    y2 = _run_single("MVN", {"across_channels": True,
+                             "normalize_variance": False}, x)
+    np.testing.assert_allclose(
+        y2, x - x.mean(axis=(1, 2, 3), keepdims=True), rtol=1e-4,
+        atol=1e-5)
+
+
+def test_tile_whole_block(rng):
+    x = rng.normal(size=(2, 3, 3, 4)).astype(np.float32)
+    y = _run_single("Tile", {"axis": -1, "tiles": 3}, x)
+    np.testing.assert_array_equal(y, np.concatenate([x] * 3, axis=-1))
+    yh = _run_single("Tile", {"axis": 1, "tiles": 2}, x)
+    np.testing.assert_array_equal(yh, np.concatenate([x] * 2, axis=1))
+
+
+def test_reduction_caffe_axes(rng):
+    """Reduction reduces NCHW dims >= axis; rank-4 output keeps Caffe's
+    leading order."""
+    x = rng.normal(size=(2, 3, 4, 5)).astype(np.float32)  # NHWC
+    nchw = np.transpose(x, (0, 3, 1, 2))
+    y = _run_single("Reduction", {"axis": 1}, x)           # -> (N,)
+    np.testing.assert_allclose(y, nchw.reshape(2, -1).sum(1), rtol=1e-5)
+    y = _run_single("Reduction", {"operation": "MEAN", "axis": 2,
+                                  "coeff": 2.0}, x)        # -> (N, C)
+    np.testing.assert_allclose(
+        y, 2.0 * nchw.mean(axis=(2, 3)), rtol=1e-5)
+    y = _run_single("Reduction", {"operation": "ASUM", "axis": 3}, x)
+    np.testing.assert_allclose(y, np.abs(nchw).sum(-1), rtol=1e-5)
+    y = _run_single("Reduction", {"operation": "SUMSQ", "axis": 0}, x)
+    np.testing.assert_allclose(y, (nchw ** 2).sum(), rtol=1e-5)

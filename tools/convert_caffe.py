@@ -433,6 +433,30 @@ class Converter:
                      "scale": float(p.get("scale", 1.0)),
                      "shift": float(p.get("shift", 0.0))}
             op = "Power"
+        elif ltype == "MVN":
+            p = layer.get("mvn_param", {})
+            attrs = {"normalize_variance":
+                     bool(p.get("normalize_variance", True)),
+                     "across_channels": bool(p.get("across_channels",
+                                                   False)),
+                     "eps": float(p.get("eps", 1e-9))}
+            op = "MVN"
+        elif ltype == "Tile":
+            p = layer.get("tile_param", {})
+            axis = int(p.get("axis", 1))
+            attrs = {"axis": {0: 0, 1: -1, 2: 1, 3: 2}.get(axis, -1),
+                     "tiles": int(p.get("tiles", 1))}
+            op = "Tile"
+        elif ltype == "Reduction":
+            p = layer.get("reduction_param", {})
+            ops_ = {1: "SUM", 2: "ASUM", 3: "SUMSQ", 4: "MEAN",
+                    "SUM": "SUM", "ASUM": "ASUM", "SUMSQ": "SUMSQ",
+                    "MEAN": "MEAN"}
+            ax = _i32(p.get("axis", 0))
+            attrs = {"operation": ops_.get(p.get("operation", 1), "SUM"),
+                     "axis": ax + 4 if ax < 0 else ax,
+                     "coeff": float(p.get("coeff", 1.0))}
+            op = "Reduction"
         elif ltype == "Axpy":
             # SENet-Caffe's custom layer: bottoms [gate, x, y] -> a*x+y
             op = "Axpy"
