@@ -92,6 +92,9 @@ BEST_BATCH = {
     # loop); paired sweeps: mobilenet_ssd b128 > b256 > b64, vgg16_ssd300
     # flat 16-64 (compute-bound) — take b16 for latency
     "mobilenet_ssd": 128, "vgg16_ssd300": 16,
+    # 2026-08-19 additions (paired sweeps, BASELINE.md)
+    "mobilenet_v2": 128, "shufflenet_v1": 128, "se_resnet50": 96,
+    "inception_v3": 128,
 }
 
 
