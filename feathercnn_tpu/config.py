@@ -96,6 +96,13 @@ class EngineConfig:
     # pressure on depthwise layers.
     int8_grouped: bool = True
 
+    # w8a8: let Axpy (the SE gate*x + y residual add) take int8 on its
+    # two big inputs (x, y) at their calibrated scales — dequant-
+    # accumulate in f32 registers, requantize in the epilogue; the tiny
+    # SE gate stays float.  Restores ResNet-style int8 residual edges in
+    # SE nets.
+    int8_axpy: bool = True
+
     # Persistent compiled-executable cache directory (cuts serving restart
     # latency — SURVEY.md §5 checkpoint/resume).  None disables.
     compilation_cache_dir: Optional[str] = None

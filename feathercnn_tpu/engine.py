@@ -58,6 +58,7 @@ class Engine:
             quantize_graph(self.graph, self.config.quant,
                            int8_grouped=self.config.int8_grouped,
                            requant_ops=self.config.int8_requant_ops,
+                           int8_axpy=self.config.int8_axpy,
                            fp_act_layers=self.config.fp_act_layers)
         if self.config.fuse_blocks or self.config.fuse_chains:
             from .passes_fusion import fuse_bottlenecks, fuse_chains

@@ -841,6 +841,22 @@ def _lower_axpy(node, inputs, params, ctx):
     if s.ndim < x.ndim:
         s = s.reshape((s.shape[0],) + (1,) * (x.ndim - s.ndim)
                       + s.shape[1:])
+    q = ctx.qinfo(node)
+    if q is not None and q.get("axpy_int8"):
+        # int8-edge form (quant/rewrite.py): x and y arrive int8 at
+        # their calibrated scales (or float), the gate stays float;
+        # dequant-multiply-accumulate in f32 registers, fused act,
+        # requantize to the agreed output scale — the SE residual edge
+        # costs 1 byte/elem like a plain ResNet shortcut.
+        sx, sy = q["in_scales"]
+        xf = (x.astype(jnp.float32) * sx if x.dtype == jnp.int8
+              else x.astype(jnp.float32))
+        yf = (y.astype(jnp.float32) * sy if y.dtype == jnp.int8
+              else y.astype(jnp.float32))
+        out = s.astype(jnp.float32) * xf + yf
+        out = apply_activation(out, node.attrs.get("activation"))
+        return [jnp.clip(jnp.round(out / q["y_scale"]), -127, 127)
+                .astype(jnp.int8)]
     out = (s.astype(jnp.float32) * x.astype(jnp.float32)
            + y.astype(jnp.float32))
     out = apply_activation(out, node.attrs.get("activation"))

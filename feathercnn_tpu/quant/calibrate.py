@@ -52,6 +52,10 @@ def calibrate(graph, batches: Iterable, method: str = "percentile",
     extra_values = [i for n in eng.graph.nodes
                     if n.op in ("Eltwise", "Concat", "Scale", "LRN")
                     for i in n.inputs]
+    # Axpy's two big operands (x, y) — the gate (inputs[0]) stays float
+    # (quant/rewrite.py axpy_int8).
+    extra_values += [i for n in eng.graph.nodes if n.op == "Axpy"
+                     for i in n.inputs[1:]]
     all_values = set(targets.values()) | set(extra_values)
     # Graph inputs aren't extractable outputs; their scale comes from data.
     names = sorted(all_values - set(eng.graph.inputs))

@@ -20,14 +20,16 @@ _QUANT_OPS = ("Convolution", "InnerProduct")
 
 
 def quantize_graph(graph, mode: str, int8_grouped: bool = False,
-                   requant_ops: bool = True,
+                   requant_ops: bool = True, int8_axpy: bool = True,
                    fp_act_layers=()) -> None:
     """``int8_grouped``: let grouped (cardinality) convs take int8 edges —
     measured exact on XLA (int32 accumulation) but the conv itself runs
     ~25% slower than bf16 at ResNeXt shapes; the win, when any, is the
     halved edge traffic (EngineConfig.int8_grouped, A/B per model).
     ``requant_ops``: enable the requantizing edge types (concat_int8
-    fallback, Scale/LRN requant_int8)."""
+    fallback, Scale/LRN requant_int8).  ``int8_axpy``: let Axpy's two
+    big inputs (x, y) arrive int8 at their calibrated scales (the SE
+    gate stays float)."""
     if mode not in ("w8", "w8a8"):
         raise ValueError(f"unknown quant mode {mode!r}")
     act_scales = graph.meta.get("act_scales", {})
@@ -129,6 +131,13 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False,
                 s = value_scales.get(value)
                 return float(s) if s is not None else None
             return None
+        if c.op == "Axpy":
+            # int8 accepted on the two big operands (x, y) only; the
+            # SE gate (inputs[0]) always arrives float.
+            if info and info.get("axpy_int8") and value in c.inputs[1:]:
+                s = value_scales.get(value)
+                return float(s) if s is not None else None
+            return None
         cinfo = qmeta.get(c.name) or {}
         if c.op == "Concat" and cinfo.get("concat_int8"):
             # requantizing concat: takes each operand at its own
@@ -178,7 +187,8 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False,
             if info is None:
                 continue
             if (info.get("eltwise_int8") or info.get("passthrough_int8")
-                    or info.get("concat_int8") or info.get("requant_int8")):
+                    or info.get("concat_int8") or info.get("requant_int8")
+                    or info.get("axpy_int8")):
                 del qmeta[n.name]       # entries this pass owns
             else:
                 info.pop("emit_int8", None)
@@ -195,6 +205,16 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False,
                         "eltwise_int8": True,
                         "in_scales": [float(value_scales[v])
                                       for v in n.inputs],
+                        "y_scale": float(y_scale),
+                    }
+            elif n.op == "Axpy" and int8_axpy:
+                y_scale = _edge_scale_for(n.outputs[0])
+                if (y_scale is not None
+                        and all(v in value_scales for v in n.inputs[1:])):
+                    qmeta[n.name] = {
+                        "axpy_int8": True,
+                        "in_scales": [float(value_scales[v])
+                                      for v in n.inputs[1:]],
                         "y_scale": float(y_scale),
                     }
             elif _transparent(n) and n.name not in denied:
@@ -235,7 +255,8 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False,
         if info and (info.get("emit_int8") or info.get("eltwise_int8")
                      or info.get("passthrough_int8")
                      or info.get("concat_int8")
-                     or info.get("requant_int8")):
+                     or info.get("requant_int8")
+                     or info.get("axpy_int8")):
             return info.get("y_scale")
         return None
 

@@ -438,3 +438,51 @@ def test_int8_edge_through_shuffle_channel(rng):
     assert qm["shuf"].get("passthrough_int8") is True
     out = np.asarray(eng(xv))
     assert _cosine(ref, out) > 0.997
+
+
+def test_int8_axpy_residual_edges(rng):
+    """Axpy (SE gate*x + y) takes int8 on its big operands: the residual
+    trunk stays int8 through SE blocks while the gate path (global pool
+    -> 1x1s -> sigmoid) stays float."""
+    b = GraphBuilder("se_mini", seed=21)
+    x = b.input("data", (2, 8, 8, 8))
+    x = b.conv("stem", x, 16, 3, pad=1, relu=True)
+
+    def se_block(name, x):
+        y = b.conv(name + "_a", x, 16, 1, relu=True)
+        y = b.conv(name + "_b", y, 16, 3, pad=1)
+        s = b.pool(name + "_gp", y, 0, mode="AVE", global_pooling=True)
+        s = b.conv(name + "_down", s, 4, 1, relu=True)
+        s = b.conv(name + "_up", s, 16, 1)
+        s = b.sigmoid(name + "_prob", s)
+        out = b.axpy(name + "_axpy", s, y, x)
+        return b.relu(name + "_relu", out)
+
+    x = se_block("blk1", x)
+    x = se_block("blk2", x)
+    # head conv: the int8 chain ends at a conv consumer (as at stage
+    # boundaries in SE-ResNet); a pool-terminated tail stays float by
+    # design (the output edge must be int8-accepted)
+    x = b.conv("head", x, 16, 1, relu=True)
+    x = b.pool("gap", x, 0, mode="AVE", global_pooling=True)
+    x = b.fc("fc", x, 10)
+    g = b.finish([x])
+
+    xv = rng.normal(size=(2, 8, 8, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    calibrate(g, [xv], method="max")
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 interpret=True))
+    qm = eng.graph.meta["quant"]
+    assert qm["blk1_axpy"].get("axpy_int8") is True
+    # the shortcut edge (stem output) is consumed by blk1_a (int8 conv)
+    # and blk1_axpy (int8 y) -> the stem emits int8
+    assert qm["stem"].get("emit_int8") is True
+    out = np.asarray(eng(xv))
+    assert _cosine(ref, out) > 0.997
+    # flag off: no axpy marking, still correct
+    eng2 = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                  interpret=True, int8_axpy=False))
+    assert not eng2.graph.meta["quant"].get("blk1_axpy")
+    out2 = np.asarray(eng2(xv))
+    assert _cosine(ref, out2) > 0.997
