@@ -151,7 +151,12 @@ def mobilenet_v2(batch: int = 1, seed: int = 0, width_mult: float = 1.0,
     x = b.fc("fc11", x, 1000)
     if with_softmax:
         x = b.softmax("prob", x)
-    return b.finish([x])
+    g = b.finish([x])
+    # Measured on v5e (BASELINE.md): int8 depthwise between the 1x1s is
+    # slower than bf16 here — opposite of v1 (paired +10.3% with grouped
+    # int8 edges off).
+    g.meta["config_overrides"] = {"int8_grouped": False}
+    return g
 
 
 def shufflenet_v1(batch: int = 1, seed: int = 0, groups: int = 3,
@@ -210,7 +215,11 @@ def shufflenet_v1(batch: int = 1, seed: int = 0, groups: int = 3,
     x = b.fc("fc1000", x, 1000)
     if with_softmax:
         x = b.softmax("prob", x)
-    return b.finish([x])
+    g = b.finish([x])
+    # Measured on v5e (BASELINE.md): grouped 1x1 / depthwise int8 edges
+    # lose at these tiny channel counts (paired +4.5% with them off).
+    g.meta["config_overrides"] = {"int8_grouped": False}
+    return g
 
 
 def vgg16(batch: int = 1, seed: int = 0, with_softmax: bool = True) -> Graph:
@@ -487,7 +496,11 @@ def inception_v3(batch: int = 1, seed: int = 0,
     x = b.fc("classifier", x, 1000)
     if with_softmax:
         x = b.softmax("prob", x)
-    return b.finish([x])
+    g = b.finish([x])
+    # Measured on v5e (BASELINE.md): requantizing concat edges cost this
+    # concat-heavy model 2.6% paired — passthrough-only, like GoogLeNet.
+    g.meta["config_overrides"] = {"int8_requant_ops": False}
+    return g
 
 
 def densenet121(batch: int = 1, seed: int = 0,
