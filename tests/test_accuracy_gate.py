@@ -312,3 +312,100 @@ def test_int8_depthwise_top1_gate():
         drop = top1_fp - top1_q
         assert drop <= 0.005 + 1e-9, \
             f"algo={algo}: top-1 drop {drop*100:.2f}% > 0.5%"
+
+
+def _train_se(steps=300, seed=13):
+    """SE-block net (conv -> [1x1, 3x3, SE gate, axpy, relu] -> head) —
+    gates the int8_axpy default on trained distributions."""
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_platforms", "cpu")
+    rng = np.random.default_rng(seed)
+
+    def init(shape, fan_in):
+        return jnp.asarray(rng.normal(0, np.sqrt(2.0 / fan_in),
+                                      size=shape).astype(np.float32))
+
+    params = {
+        "w1": init((3, 3, C_IN, 16), 27), "b1": jnp.zeros((16,)),
+        "wa": init((1, 1, 16, 16), 16), "ba": jnp.zeros((16,)),
+        "wb": init((3, 3, 16, 16), 144), "bb": jnp.zeros((16,)),
+        "wd": init((1, 1, 16, 4), 16), "bd": jnp.zeros((4,)),
+        "wu": init((1, 1, 4, 16), 4), "bu": jnp.zeros((16,)),
+        "wh": init((1, 1, 16, 16), 16), "bh": jnp.zeros((16,)),
+        "w3": init((16, N_CLASS), 16), "b3": jnp.zeros((N_CLASS,)),
+    }
+
+    def conv(x, w, pad=0):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def forward(p, x):
+        x = jnp.maximum(conv(x, p["w1"], 1) + p["b1"], 0)
+        y = jnp.maximum(conv(x, p["wa"]) + p["ba"], 0)
+        y = conv(y, p["wb"], 1) + p["bb"]
+        s = y.mean(axis=(1, 2), keepdims=True)
+        s = jnp.maximum(conv(s, p["wd"]) + p["bd"], 0)
+        s = jax.nn.sigmoid(conv(s, p["wu"]) + p["bu"])
+        z = jnp.maximum(s * y + x, 0)
+        z = jnp.maximum(conv(z, p["wh"]) + p["bh"], 0)
+        return z.mean(axis=(1, 2)) @ p["w3"] + p["b3"]
+
+    def loss(p, x, y):
+        logits = forward(p, x)
+        return -jnp.mean(jax.nn.log_softmax(logits)[
+            jnp.arange(x.shape[0]), y])
+
+    xtr, ytr = _dataset(2048, seed=14)
+    xtr_j, ytr_j = jnp.asarray(xtr), jnp.asarray(ytr)
+    grad = jax.jit(jax.grad(loss))
+    for s in range(steps):
+        i = (s * 128) % 2048
+        g = grad(params, xtr_j[i:i + 128], ytr_j[i:i + 128])
+        params = jax.tree_util.tree_map(lambda p, gv: p - 0.05 * gv,
+                                        params, g)
+    return {k: np.asarray(v) for k, v in params.items()}
+
+
+def test_int8_axpy_top1_gate():
+    """int8_axpy (default on): SE residual int8 edges hold the 0.5%
+    top-1 gate on a trained SE-block model."""
+    p = _train_se()
+    xval, yval = _dataset(1024, seed=15)
+    b = GraphBuilder("gatese", seed=0)
+    x = b.input("data", (1024, HW, HW, C_IN))
+    x = b.conv("c1", x, 16, 3, pad=1, relu=True)
+    y = b.conv("a", x, 16, 1, relu=True)
+    y = b.conv("bb", y, 16, 3, pad=1)
+    s = b.pool("gp", y, 0, mode="AVE", global_pooling=True)
+    s = b.conv("down", s, 4, 1, relu=True)
+    s = b.conv("up", s, 16, 1)
+    s = b.sigmoid("prob", s)
+    z = b.axpy("axpy", s, y, x)
+    z = b.relu("axpy_relu", z)
+    z = b.conv("head", z, 16, 1, relu=True)
+    z = b.pool("gap", z, 0, mode="AVE", global_pooling=True)
+    z = b.fc("fc", z, N_CLASS)
+    g = b.finish([z])
+    g.params.update({"c1/w": p["w1"], "c1/b": p["b1"],
+                     "a/w": p["wa"], "a/b": p["ba"],
+                     "bb/w": p["wb"], "bb/b": p["bb"],
+                     "down/w": p["wd"], "down/b": p["bd"],
+                     "up/w": p["wu"], "up/b": p["bu"],
+                     "head/w": p["wh"], "head/b": p["bh"],
+                     "fc/w": p["w3"], "fc/b": p["b3"]})
+
+    fp = Engine(g)
+    top1_fp = float((np.asarray(fp(xval)).argmax(-1) == yval).mean())
+    assert top1_fp > 0.9, f"training failed ({top1_fp:.3f})"
+
+    xcal, _ = _dataset(256, seed=16)
+    calibrate(g, [xcal], method="max")
+    q = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                               interpret=True,
+                               algo_overrides=(("*", "xla"),)))
+    assert q.graph.meta["quant"].get("axpy", {}).get("axpy_int8")
+    top1_q = float((np.asarray(q(xval)).argmax(-1) == yval).mean())
+    drop = top1_fp - top1_q
+    assert drop <= 0.005 + 1e-9, f"top-1 drop {drop*100:.2f}% > 0.5%"
