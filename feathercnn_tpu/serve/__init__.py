@@ -1,6 +1,7 @@
 from .batcher import PyBatchQueue, make_queue
+from .http import HttpFrontend
 from .preprocess import native_available, preprocess
 from .server import InferenceServer
 
-__all__ = ["InferenceServer", "PyBatchQueue", "make_queue",
+__all__ = ["InferenceServer", "HttpFrontend", "PyBatchQueue", "make_queue",
            "preprocess", "native_available"]

@@ -229,3 +229,64 @@ def test_server_retry_then_success(rng):
         assert srv.healthy()
     finally:
         srv.stop()
+
+
+def test_http_frontend_end_to_end(rng):
+    """HTTP front-end: /infer (.npy and JSON), /healthz, /metrics —
+    responses match direct engine output; concurrent posts batch."""
+    import io
+    import json
+    import urllib.request
+
+    from feathercnn_tpu.serve import HttpFrontend
+
+    eng = _tiny_engine()
+    srv = InferenceServer(eng, batch_size=8, batch_timeout_us=5000,
+                          prefer_native_queue=False)
+    srv.start()
+    front = HttpFrontend(srv, host="127.0.0.1", port=0)
+    front.start()
+    base = f"http://127.0.0.1:{front.port}"
+    try:
+        img = rng.normal(size=(8, 8, 3)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        req = urllib.request.Request(
+            base + "/infer", data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npy"})
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.headers["Content-Type"] == "application/x-npy"
+            out = np.load(io.BytesIO(resp.read()))
+        ref = np.asarray(eng(img[None]))[0]
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+        # JSON round trip
+        req = urllib.request.Request(
+            base + "/infer",
+            data=json.dumps({"data": img.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            out_j = np.asarray(json.loads(resp.read())["result"],
+                               np.float32)
+        np.testing.assert_allclose(out_j, ref, rtol=1e-4, atol=1e-5)
+
+        # wrong shape -> 400
+        bad = io.BytesIO()
+        np.save(bad, np.zeros((4, 4, 3), np.float32))
+        req = urllib.request.Request(
+            base + "/infer", data=bad.getvalue(),
+            headers={"Content-Type": "application/x-npy"})
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            assert r.status == 200
+        with urllib.request.urlopen(base + "/metrics", timeout=10) as r:
+            text = r.read().decode()
+        assert "feathercnn_images" in text
+    finally:
+        front.stop()
+        srv.stop()
