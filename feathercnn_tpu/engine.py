@@ -150,7 +150,7 @@ class Engine:
     # ------------------------------------------------------------------
     def _build_forward(self, extra_outputs: Sequence[str] = ()):
         graph = self.graph
-        ctx = LoweringCtx(graph, self.config)
+        ctx = LoweringCtx(graph, self.config, mesh=self._mesh)
         wanted = list(dict.fromkeys(list(graph.outputs) + list(extra_outputs)))
         for w in wanted:
             if w not in graph.specs:

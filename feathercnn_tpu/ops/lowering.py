@@ -28,9 +28,12 @@ __all__ = ["LoweringCtx", "lower_node", "register_lowering", "apply_activation"]
 class LoweringCtx:
     """Carried through lowering: config + graph + per-node quant metadata."""
 
-    def __init__(self, graph: Graph, config):
+    def __init__(self, graph: Graph, config, mesh=None):
         self.graph = graph
         self.config = config
+        # GSPMD mesh when the engine runs sharded (set by Engine);
+        # lowerings that need explicit sharding constraints read it.
+        self.mesh = mesh
 
     @property
     def backend(self) -> str:
@@ -121,17 +124,47 @@ def _conv_hparams(node: Node):
     return kh, kw, sh, sw, ph, pw, dil, group
 
 
+def _grouped_batch_only(node, ctx, w):
+    """True when this conv needs the grouped-conv SPMD workaround: a
+    grouped (1 < group, Cin/g > 1) convolution whose input OR output is
+    channel-sharded returns WRONG values from XLA's SPMD partitioner
+    (measured on the virtual mesh,
+    tests/test_parallel.py::test_engine_mesh_shuffle_axpy).  Depthwise
+    (Cin/g == 1) partitions correctly."""
+    mesh = getattr(ctx, "mesh", None)
+    group = node.attrs.get("group", 1)
+    return not (mesh is None or group <= 1
+                or (w.ndim == 4 and w.shape[-2] == 1))
+
+
+def _constrain_batch_only(x, ctx):
+    """Pin a value to batch-only sharding (all-gather the channel axis)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    mesh = ctx.mesh
+    scfg = ctx.config.sharding
+    spec = [None] * x.ndim
+    if (scfg is not None and scfg.shard_batch
+            and x.shape[0] % mesh.shape[scfg.data_axis] == 0):
+        spec[0] = scfg.data_axis
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, PartitionSpec(*spec)))
+
+
 @register_lowering("Convolution")
 def _lower_conv(node, inputs, params, ctx):
     x = inputs[0]
     w = params[0]  # HWIO (H, W, Cin/group, Cout)
+    grouped_fix = _grouped_batch_only(node, ctx, w)
+    if grouped_fix:
+        x = _constrain_batch_only(x, ctx)
     bias = params[1] if node.attrs.get("bias_term", True) and len(params) > 1 else None
     kh, kw, sh, sw, ph, pw, dil, group = _conv_hparams(node)
     act = node.attrs.get("activation")
 
     if ctx.backend == "pallas":
         from ..kernels import dispatch as kdispatch
-        return [kdispatch.conv_forward(node, x, w, bias, ctx)]
+        y = kdispatch.conv_forward(node, x, w, bias, ctx)
+        return [_constrain_batch_only(y, ctx) if grouped_fix else y]
 
     x, w = _dequant_for_oracle(x, w, ctx.qinfo(node), ctx)
     y = jax.lax.conv_general_dilated(
@@ -147,7 +180,8 @@ def _lower_conv(node, inputs, params, ctx):
         y = y + bias.astype(jnp.float32)
     segs = node.attrs.get("act_segments")
     y = apply_act_segments(y, segs) if segs else apply_activation(y, act)
-    return [y.astype(x.dtype)]
+    y = y.astype(x.dtype)
+    return [_constrain_batch_only(y, ctx) if grouped_fix else y]
 
 
 def _subpixel_plan(k: int, s: int, p: int):

@@ -86,10 +86,20 @@ def param_shardings(graph, mesh: Mesh, cfg: ShardingConfig
     tp_params = set()
     if cfg.shard_weights and model_parts > 1:
         for n in graph.nodes:
-            if n.op in ("Convolution", "InnerProduct"):
-                # Depthwise convs (group == channels) keep channels on the
-                # last weight axis too — still shardable.
-                tp_params.update(n.params)
+            if n.op not in ("Convolution", "InnerProduct"):
+                continue
+            # Grouped (1 < group < channels) conv weights REPLICATE:
+            # XLA's SPMD partitioner mispartitions a grouped conv whose
+            # kernel output-feature axis is sharded (measured wrong
+            # results on the virtual mesh, tests/test_parallel.py).
+            # Depthwise (Cin/g == 1) partitions correctly — channels
+            # stay channelwise — so it keeps the TP sharding.
+            group = n.attrs.get("group", 1)
+            if n.op == "Convolution" and group > 1:
+                w = np.asarray(graph.params[n.params[0]])
+                if w.ndim == 4 and w.shape[-2] != 1:
+                    continue
+            tp_params.update(n.params)
     for name, arr in graph.params.items():
         a = np.asarray(arr)
         if (name in tp_params and a.ndim >= 1

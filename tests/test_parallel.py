@@ -231,3 +231,45 @@ def test_engine_dp_tp_sharding_int8(mesh, rng):
     assert eng.graph.meta["quant"]["c1"].get("emit_int8")
     out = np.asarray(eng(xv))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_engine_mesh_shuffle_axpy(mesh, rng):
+    """ShuffleChannel (reshape/transpose permutation) and Axpy (SE gate
+    broadcast) under the (2,4) GSPMD mesh match single-device — incl.
+    the w8a8 int8-edge paths (passthrough through shuffle, axpy_int8)."""
+    from feathercnn_tpu.models.builder import GraphBuilder
+    from feathercnn_tpu.quant import calibrate
+
+    b = GraphBuilder("meshy", seed=9)
+    x = b.input("data", (8, 8, 8, 8))
+    x = b.conv("stem", x, 16, 3, pad=1, relu=True)
+    # grouped conv -> shuffle -> grouped conv (the ShuffleNet pattern)
+    y = b.conv("g1", x, 16, 1, group=4, relu=True)
+    y = b.shuffle_channel("shuf", y, 4)
+    y = b.conv("g2", y, 16, 1, group=4)
+    # SE tail + axpy residual
+    s = b.pool("gp", y, 0, mode="AVE", global_pooling=True)
+    s = b.conv("down", s, 4, 1, relu=True)
+    s = b.conv("up", s, 16, 1)
+    s = b.sigmoid("prob", s)
+    z = b.axpy("axpy", s, y, x)
+    z = b.relu("axpy_relu", z)
+    z = b.conv("head", z, 16, 1, relu=True)
+    z = b.pool("gap", z, 0, mode="AVE", global_pooling=True)
+    z = b.fc("fc", z, 8)
+    g = b.finish([z])
+
+    xv = rng.normal(size=(8, 8, 8, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    eng = Engine(g, EngineConfig(sharding=ShardingConfig(mesh_shape=(2, 4))))
+    np.testing.assert_allclose(np.asarray(eng(xv)), ref, rtol=1e-4,
+                               atol=1e-5)
+
+    # int8 path under the mesh == int8 path single-device (bitwise-free
+    # comparison: cosine against the fp reference for both)
+    calibrate(g, [xv], method="max")
+    q_cfg = dict(backend="pallas", quant="w8a8", interpret=True)
+    q_single = np.asarray(Engine(g, EngineConfig(**q_cfg))(xv))
+    q_mesh = np.asarray(Engine(g, EngineConfig(
+        sharding=ShardingConfig(mesh_shape=(2, 4)), **q_cfg))(xv))
+    np.testing.assert_allclose(q_mesh, q_single, rtol=1e-4, atol=1e-5)
