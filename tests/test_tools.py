@@ -99,3 +99,43 @@ def test_ftpu_roundtrip_chain_regions(tmp_path, rng):
     assert g2.meta["chain_regions"] == {"8x8x32x8": True}
     eng = Engine(g2, EngineConfig(fuse_blocks=True, interpret=True))
     assert any(n.op == "FusedBottleneck" for n in eng.graph.nodes)
+
+
+def test_diff_blobs_cli(tmp_path, rng):
+    """tools/diff_blobs.py: per-layer A/B diff finds where two configs
+    diverge; exit code gates on the final output cosine."""
+    import os
+    import subprocess
+    import sys
+
+    from feathercnn_tpu.model_format import save_ftpu
+
+    b = GraphBuilder("difft", seed=3)
+    x = b.input("data", (2, 8, 8, 3))
+    y = b.conv("c1", x, 8, 3, pad=1, relu=True)
+    y = b.conv("c2", y, 8, 1, relu=True)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 4)
+    g = b.finish([y])
+    path = str(tmp_path / "m.ftpu")
+    save_ftpu(g, path)
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    env = {**os.environ, "PALLAS_AXON_POOL_IPS": "",
+           "JAX_PLATFORMS": "cpu"}
+    # identical configs -> exit 0, cosine 1.0 everywhere
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "diff_blobs.py"),
+         "--ftpu", path, "--a", "quant=none", "--b", "quant=none",
+         "--cpu"], capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "first divergence: none" in r.stdout
+    # fp vs int8 at an absurd threshold -> nonzero exit + flagged layer
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "diff_blobs.py"),
+         "--ftpu", path, "--a", "quant=none",
+         "--b", "quant=w8a8,backend=pallas,interpret=true",
+         "--threshold", "0.9999999", "--cpu"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "DIVERGES" in r.stdout
