@@ -113,6 +113,15 @@ class Engine:
         """GetBlobDataSize analog ([pub] src/net.cpp)."""
         return self.graph.specs[name].shape
 
+    def summary(self, top: int = None) -> str:
+        """Per-layer table of the OPTIMIZED graph (post-fusion): output
+        shape, params, FLOPs/img, activation MB/img.  ``top`` keeps only
+        the N most FLOP-heavy layers."""
+        from .utils.summary import summarize
+        act_bytes = 1 if self.config.quant == "w8a8" else \
+            jnp.dtype(self.config.compute_dtype).itemsize
+        return summarize(self.graph, act_bytes=act_bytes, top=top)
+
     # ------------------------------------------------------------------
     def _prepare_params(self) -> Dict[str, jax.Array]:
         """Move weights to device once, pre-cast to the compute dtype.

@@ -139,3 +139,20 @@ def test_diff_blobs_cli(tmp_path, rng):
         capture_output=True, text=True, env=env)
     assert r.returncode == 1, r.stdout + r.stderr
     assert "DIVERGES" in r.stdout
+
+
+def test_summary(rng):
+    """Engine.summary / utils.summary: totals match the known ResNet-50
+    numbers (25.5M params, ~7.7 GFLOPs at 224) and per-layer rows carry
+    fused shapes."""
+    from feathercnn_tpu.models import resnet50
+    eng = Engine(resnet50(batch=1, with_softmax=False))
+    s = eng.summary()
+    assert "TOTAL:" in s and "conv1" in s
+    total = s.splitlines()[-1]
+    params = float(total.split("M params")[0].split(":")[1])
+    gflops = float(total.split(",")[1].strip().split(" ")[0])
+    assert 25.0 < params < 26.0, total
+    assert 7.0 < gflops < 8.5, total
+    short = eng.summary(top=5)
+    assert len(short.splitlines()) == 5 + 2  # header + 5 rows + total
