@@ -392,6 +392,17 @@ for _op in ["ReLU", "ReLU6", "PReLU", "Sigmoid", "TanH", "BatchNorm",
     register_shape_fn(_op)(_elementwise_shape)
 
 
+@register_shape_fn("SPP")
+def _spp_shape(node, in_specs, graph):
+    """Caffe SPPLayer (spp_layer.cpp): pyramid of MAX/AVE poolings at
+    2^l x 2^l bins for l in [0, pyramid_height), each flattened in
+    Caffe's NCHW order and channel-concatenated -> (N, C*sum(4^l))."""
+    n, h, w, c = in_specs[0].shape
+    p = int(node.attrs.get("pyramid_height", 1))
+    total = sum((2 ** l) ** 2 for l in range(p))
+    return [TensorSpec((n, c * total), in_specs[0].dtype)]
+
+
 @register_shape_fn("Tile")
 def _tile_shape(node, in_specs, graph):
     """Caffe TileLayer: repeat the whole tensor `tiles` times along one

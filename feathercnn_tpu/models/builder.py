@@ -324,6 +324,16 @@ class GraphBuilder:
         self._channels[out] = self._channels[x]
         return out
 
+    def spp(self, name: str, x: str, pyramid_height: int,
+            mode: str = "MAX") -> str:
+        """Caffe SPPLayer: fixed-length pyramid pooling head."""
+        out = self._add(Node(name, "SPP", [x], [name],
+                             {"pyramid_height": pyramid_height,
+                              "pool": mode}))[0]
+        total = sum((2 ** l) ** 2 for l in range(pyramid_height))
+        self._channels[out] = self._channels[x] * total
+        return out
+
     def flatten(self, name: str, x: str) -> str:
         out = self._add(Node(name, "Flatten", [x], [name]))[0]
         self._channels[out] = self._channels[x]

@@ -631,6 +631,37 @@ def _pool_padding(size, k, s, p, ceil_mode):
     return out, max(needed, 0)
 
 
+@register_lowering("SPP")
+def _lower_spp(node, inputs, params, ctx):
+    """Caffe SPPLayer: for each pyramid level l, a pooling with
+    kernel = ceil(size/bins), stride = kernel, pad = (kernel*bins -
+    size + 1) // 2 (bins = 2^l) — which lands exactly on bins x bins
+    under Caffe's ceil-mode output arithmetic — then NCHW-order flatten
+    and channel concat (the fixed-length output that feeds FC heads
+    regardless of input size)."""
+    x = inputs[0]
+    n, h, w, c = x.shape
+    p = int(node.attrs.get("pyramid_height", 1))
+    mode = node.attrs.get("pool", "MAX")
+    levels = []
+    for l in range(p):
+        bins = 2 ** l
+        kh, kw = -(-h // bins), -(-w // bins)
+        ph = (kh * bins - h + 1) // 2
+        pw = (kw * bins - w + 1) // 2
+        sub = Node(f"{node.name}/pool_{l}", "Pooling",
+                   list(node.inputs), [f"{node.name}/pool_{l}"],
+                   {"pool": mode, "kernel_h": kh, "kernel_w": kw,
+                    "stride_h": kh, "stride_w": kw, "pad_h": ph,
+                    "pad_w": pw, "ceil_mode": True})
+        (y,) = _lower_pool(sub, [x], [], ctx)
+        assert y.shape[1] == bins and y.shape[2] == bins, \
+            f"{node.name}: level {l} pooled to {y.shape}, want {bins}"
+        y = jnp.transpose(y, (0, 3, 1, 2))      # Caffe NCHW flatten order
+        levels.append(y.reshape(n, -1))
+    return [jnp.concatenate(levels, axis=-1)]
+
+
 @register_lowering("SpaceToDepth")
 def _lower_s2d(node, inputs, params, ctx):
     """2x2 space-to-depth with edge padding (passes_stem.py); channel

@@ -281,3 +281,29 @@ def test_reduction_caffe_axes(rng):
     np.testing.assert_allclose(y, np.abs(nchw).sum(-1), rtol=1e-5)
     y = _run_single("Reduction", {"operation": "SUMSQ", "axis": 0}, x)
     np.testing.assert_allclose(y, (nchw ** 2).sum(), rtol=1e-5)
+
+
+def test_spp_caffe_semantics(rng):
+    """SPP vs a direct numpy oracle of Caffe spp_layer.cpp: per-level
+    kernel=ceil(size/bins), stride=kernel, pad=(kernel*bins-size+1)//2,
+    MAX over the in-bounds window, NCHW-order flatten, channel concat."""
+    x = rng.normal(size=(2, 13, 9, 5)).astype(np.float32)
+    P = 3
+    y = _run_single("SPP", {"pyramid_height": P}, x)
+
+    def level(xn, bins):
+        n, h, w, c = xn.shape
+        kh, kw = -(-h // bins), -(-w // bins)
+        ph, pw = (kh * bins - h + 1) // 2, (kw * bins - w + 1) // 2
+        out = np.full((n, bins, bins, c), -np.inf, np.float32)
+        for i in range(bins):
+            for j in range(bins):
+                y0, x0 = i * kh - ph, j * kw - pw
+                y1, x1 = min(y0 + kh, h), min(x0 + kw, w)
+                y0, x0 = max(y0, 0), max(x0, 0)
+                out[:, i, j] = xn[:, y0:y1, x0:x1].max(axis=(1, 2))
+        return np.transpose(out, (0, 3, 1, 2)).reshape(n, -1)
+
+    ref = np.concatenate([level(x, 2 ** l) for l in range(P)], axis=-1)
+    assert y.shape == (2, 5 * (1 + 4 + 16))
+    np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)

@@ -433,6 +433,11 @@ class Converter:
                      "scale": float(p.get("scale", 1.0)),
                      "shift": float(p.get("shift", 0.0))}
             op = "Power"
+        elif ltype == "SPP":
+            p = layer.get("spp_param", {})
+            attrs = {"pyramid_height": int(p.get("pyramid_height", 1)),
+                     "pool": _POOL_MODES.get(p.get("pool", 0), "MAX")}
+            op = "SPP"
         elif ltype == "MVN":
             p = layer.get("mvn_param", {})
             attrs = {"normalize_variance":
