@@ -47,33 +47,11 @@ def device_peak_flops(int8: bool) -> float:
 
 
 def graph_flops(graph) -> float:
-    """MAC*2 FLOPs of all conv/FC nodes (the MXU work)."""
-    total = 0.0
-    for n in graph.nodes:
-        spec = graph.specs[n.outputs[0]]
-        if n.op in ("FusedBottleneck", "FusedChain"):
-            _, oh, ow, c = spec.shape
-            w1 = graph.params[n.params[0]]
-            cm = w1.shape[-1]
-            nb = n.attrs.get("nb", 1)
-            total += 2.0 * oh * ow * (2 * c * cm + 9 * cm * cm) * nb
-        elif n.op in ("Convolution", "Deconvolution"):
-            kh = n.attrs.get("kernel_h", n.attrs.get("kernel_size", 1))
-            kw = n.attrs.get("kernel_w", n.attrs.get("kernel_size", 1))
-            group = n.attrs.get("group", 1)
-            in_spec = graph.specs[n.inputs[0]]
-            cin = in_spec.shape[-1]
-            if n.op == "Deconvolution":
-                # transposed conv: every INPUT pixel hits k*k output taps
-                _, oh, ow, _ = in_spec.shape
-                co = n.attrs["num_output"]
-            else:
-                _, oh, ow, co = spec.shape
-            total += 2.0 * oh * ow * co * kh * kw * (cin / group)
-        elif n.op == "InnerProduct":
-            w = graph.params[n.params[0]]
-            total += 2.0 * w.shape[0] * w.shape[1]
-    return total  # per image (batch handled by caller)
+    """MAC*2 FLOPs of all conv/FC nodes (the MXU work), per image
+    (batch handled by caller).  Single source of truth:
+    feathercnn_tpu.utils.summary.node_flops."""
+    from feathercnn_tpu.utils.summary import node_flops
+    return sum(node_flops(graph, n) for n in graph.nodes)
 
 
 # Best batch per model, measured paired on v5e (BASELINE.md table).

@@ -30,30 +30,39 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
+    import jax
+    # Pallas kernels need interpret mode off-TPU (the CPU test path).
+    interpret = jax.default_backend() not in ("tpu", "axon")
     cfg = EngineConfig(compute_dtype=args.dtype, backend="pallas",
-                       quant=args.quant or None)
+                       quant=args.quant or None, interpret=interpret)
     if args.ftpu:
-        eng = Engine.from_path(args.ftpu, cfg)
+        from feathercnn_tpu.model_format import load_ftpu
+        graph = load_ftpu(args.ftpu)
     else:
         from feathercnn_tpu.models import MODEL_BUILDERS
-        eng = Engine(MODEL_BUILDERS[args.model](batch=1), cfg)
+        graph = MODEL_BUILDERS[args.model](batch=1)
 
-    in_spec = next(iter(eng.graph.inputs.values()))
+    in_spec = next(iter(graph.inputs.values()))
     _, h, w, _ = in_spec.shape
     if args.image:
         raw = np.load(args.image)
+        if raw.dtype != np.uint8:   # pre-scaled float images
+            raw = np.clip(raw, 0, 255).astype(np.uint8)
     else:
         raw = np.random.default_rng(0).integers(
             0, 256, size=(h + 32, w + 32, 3)).astype(np.uint8)
     img = preprocess(raw, (h, w), mean=(0.485, 0.456, 0.406),
                      std=(0.229, 0.224, 0.225))
 
-    if args.quant == "w8a8":
+    # Calibrate BEFORE constructing the quantized engine — the engine's
+    # Init quantizes weights in place, and a second construction would
+    # skip the (already-int8) weights without attaching act scales.
+    if args.quant == "w8a8" and "act_scales" not in graph.meta:
         from feathercnn_tpu.quant import calibrate
-        calibrate(eng.graph, [img[None]], method="max")
-        eng = Engine(eng.graph, cfg)   # rebuild with scales baked
+        calibrate(graph, [img[None]], method="max")
+    eng = Engine(graph, cfg)
 
-    probs = np.asarray(eng(img[None]))[0].ravel()
+    probs = np.asarray(eng(img[None]), np.float32)[0].ravel()
     top5 = np.argsort(-probs)[:5]
     for i in top5:
         print(f"class {i:4d}: {probs[i]:.4f}")

@@ -426,7 +426,7 @@ def _reduction_shape(node, in_specs, graph):
     if len(shape) == 4:
         n, h, w, c = shape
         shape = (n, c, h, w)
-    if not 0 <= axis <= len(shape):
+    if not 0 <= axis < len(shape):
         raise ValueError(f"{node.name}: Reduction axis {axis} out of "
                          f"range for rank {len(shape)}")
     return [TensorSpec(tuple(shape[:axis]), "float32")]

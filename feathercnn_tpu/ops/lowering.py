@@ -878,17 +878,21 @@ def _lower_scale(node, inputs, params, ctx):
         y = apply_activation(y, node.attrs.get("activation"))
         return [jnp.clip(jnp.round(y / q["y_scale"]), -127, 127)
                 .astype(jnp.int8)]
-    if not params and len(inputs) > 1:
+    if len(inputs) > 1:
         # two-bottom Scale (Caffe ScaleLayer with a runtime scaler,
         # e.g. SE gates): broadcast bottom[1] ((N,C) or (N,1,1,C))
-        # over bottom[0]'s spatial dims.
+        # over bottom[0]'s spatial dims; params[0], when present, is
+        # the learned BIAS (Caffe stores only the bias blob in this
+        # form — the scale comes from the bottom).
         gamma = inputs[1]
         if gamma.ndim < x.ndim:
             gamma = gamma.reshape((gamma.shape[0],)
                                   + (1,) * (x.ndim - gamma.ndim)
                                   + gamma.shape[1:])
-        return [apply_activation(x * gamma.astype(x.dtype),
-                                 node.attrs.get("activation"))]
+        y = x * gamma.astype(x.dtype)
+        if node.attrs.get("bias_term", False) and params:
+            y = y + params[0].astype(x.dtype)
+        return [apply_activation(y, node.attrs.get("activation"))]
     gamma = params[0].astype(x.dtype)
     y = x * gamma
     if node.attrs.get("bias_term", False) and len(params) > 1:

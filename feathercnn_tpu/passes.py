@@ -165,8 +165,9 @@ def fold_scale(graph: Graph) -> None:
     producers = graph.producers()
     keep: List[Node] = []
     for n in graph.nodes:
-        if n.op != "Scale" or not n.params:
-            # two-bottom Scale (runtime scaler, SE gates) can't fold
+        if n.op != "Scale" or not n.params or len(n.inputs) > 1:
+            # two-bottom Scale (runtime scaler, SE gates) can't fold —
+            # its params slot holds the BIAS, not a foldable gamma
             keep.append(n)
             continue
         prod = producers.get(n.inputs[0])

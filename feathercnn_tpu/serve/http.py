@@ -67,6 +67,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, b"not found\n", "text/plain")
             return
         length = int(self.headers.get("Content-Length", 0))
+        if length > self.frontend.max_body_bytes:
+            self._send(413, b"payload too large\n", "text/plain")
+            return
         body = self.rfile.read(length)
         ctype = self.headers.get("Content-Type", "")
         try:
@@ -109,9 +112,17 @@ class HttpFrontend:
     port (read it back from ``.port`` — used by tests)."""
 
     def __init__(self, server: InferenceServer, host: str = "0.0.0.0",
-                 port: int = 8000, timeout_s: float = 30.0):
+                 port: int = 8000, timeout_s: float = 30.0,
+                 max_body_bytes: int = None):
         self.server = server
         self.timeout_s = timeout_s
+        # Reject absurd Content-Length before allocating (one malformed
+        # client must not OOM the process that owns the chip).  Default:
+        # 4x the f32 item size (covers JSON blow-up) + 1 MB slack.
+        if max_body_bytes is None:
+            item = int(np.prod(server._item_shape)) * 4
+            max_body_bytes = 8 * item + (1 << 20)
+        self.max_body_bytes = max_body_bytes
         handler = type("BoundHandler", (_Handler,), {"frontend": self})
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._httpd.daemon_threads = True

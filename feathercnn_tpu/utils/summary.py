@@ -48,6 +48,9 @@ def summarize(graph, act_bytes: int = 4,
               top: Optional[int] = None) -> str:
     """Text table of the (post-pass, if called on an Engine's graph)
     layers: output shape, params, FLOPs/img, output MB/img."""
+    if not graph.specs:   # .ftpu loads arrive spec-less
+        from ..ir import infer_shapes
+        infer_shapes(graph)
     batch = next(iter(graph.inputs.values())).shape[0] or 1
     rows: List[tuple] = []
     tot_p = tot_f = tot_b = 0.0
@@ -55,7 +58,9 @@ def summarize(graph, act_bytes: int = 4,
         spec = graph.specs[n.outputs[0]]
         n_params = sum(int(np.prod(graph.params[p].shape))
                        for p in n.params)
-        fl = node_flops(graph, n) / batch
+        # node_flops is already per-image (batch never enters the
+        # formula); only the activation bytes carry the batch dim.
+        fl = node_flops(graph, n)
         out_b = spec.size / batch * act_bytes
         tot_p += n_params
         tot_f += fl

@@ -307,3 +307,35 @@ def test_spp_caffe_semantics(rng):
     ref = np.concatenate([level(x, 2 ** l) for l in range(P)], axis=-1)
     assert y.shape == (2, 5 * (1 + 4 + 16))
     np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_scale_two_bottom_with_bias(rng):
+    """Two-bottom Scale with bias_term: params[0] is the BIAS (the
+    scaler comes from bottom[1]) — Caffe ScaleLayer's runtime form."""
+    x = rng.normal(size=(2, 4, 4, 6)).astype(np.float32)
+    s = rng.random(size=(2, 1, 1, 6)).astype(np.float32)
+    beta = rng.normal(size=(6,)).astype(np.float32)
+    g = Graph("t", {"x": TensorSpec(x.shape), "s": TensorSpec(s.shape)},
+              ["out"],
+              [Node("n", "Scale", ["x", "s"], ["out"],
+                    {"bias_term": True}, ["beta"])],
+              params={"beta": beta})
+    got = np.asarray(Engine(g, optimize_graph=False).run(
+        {"x": x, "s": s})["out"])
+    np.testing.assert_allclose(got, x * s + beta, rtol=1e-6, atol=1e-6)
+    # and the optimizer must NOT fold it into a preceding conv
+    b = GraphBuilder("t2", seed=1)
+    xi = b.input("data", (2, 4, 4, 6))
+    si = b.input("gate", (2, 1, 1, 6))
+    y = b.conv("c", xi, 6, 1)
+    out = b._add(Node("sc", "Scale", [y, si], ["sc"],
+                      {"bias_term": True}, ["sc/beta"]))[0]
+    b.graph.params["sc/beta"] = beta
+    b._channels[out] = 6
+    g2 = b.finish([out])
+    eng = Engine(g2)   # optimize_graph=True
+    assert any(n.op == "Scale" for n in eng.graph.nodes)
+    ref = np.asarray(Engine(g2, optimize_graph=False).run(
+        {"data": x, "gate": s})["sc"])
+    got = np.asarray(eng.run({"data": x, "gate": s})["sc"])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

@@ -314,7 +314,12 @@ class Converter:
         elif ltype == "Scale":
             p = layer.get("scale_param", {})
             attrs["bias_term"] = bool(p.get("bias_term", False))
-            if blobs:
+            if len(bottoms) > 1:
+                # two-bottom form: the scaler comes from bottom[1];
+                # the only learned blob (if bias_term) is the BIAS
+                if attrs["bias_term"] and blobs:
+                    add_param("beta", blobs[0].reshape(-1))
+            elif blobs:
                 add_param("gamma", blobs[0].reshape(-1))
                 if attrs["bias_term"] and len(blobs) > 1:
                     add_param("beta", blobs[1].reshape(-1))
@@ -448,7 +453,9 @@ class Converter:
             op = "MVN"
         elif ltype == "Tile":
             p = layer.get("tile_param", {})
-            axis = int(p.get("axis", 1))
+            axis = _i32(p.get("axis", 1))
+            if axis < 0:       # Caffe canonical-axis semantics
+                axis += 4
             attrs = {"axis": {0: 0, 1: -1, 2: 1, 3: 2}.get(axis, -1),
                      "tiles": int(p.get("tiles", 1))}
             op = "Tile"
