@@ -73,6 +73,8 @@ BEST_BATCH = {
     # 2026-08-19 additions (paired sweeps, BASELINE.md)
     "mobilenet_v2": 128, "shufflenet_v1": 128, "se_resnet50": 96,
     "inception_v3": 128,
+    # two-stage detection runs batch 1 (the reference deploy)
+    "faster_rcnn_vgg16": 1,
 }
 
 
@@ -114,10 +116,25 @@ def bench_model(name: str, batch: int, dtype: str, backend: str,
         # scales are batch-independent) so we don't compile the big batch
         # twice.
         from feathercnn_tpu.quant import calibrate
-        g_cal = builder(batch=8, **kw)
+        try:
+            g_cal = builder(batch=8, **kw)
+        except ValueError:       # batch-1-only models (Faster R-CNN)
+            g_cal = builder(batch=batch, **kw)
         rng = np.random.default_rng(1)
         spec0 = next(iter(g_cal.inputs.values()))
-        cal = [rng.normal(size=spec0.shape).astype(np.float32)]
+        cal0 = rng.normal(size=spec0.shape).astype(np.float32)
+        if len(g_cal.inputs) > 1:
+            cal_d = {next(iter(g_cal.inputs)): cal0}
+            for nm, sp in list(g_cal.inputs.items())[1:]:
+                if nm == "im_info":
+                    cal_d[nm] = np.tile(np.asarray(
+                        [[spec0.shape[1], spec0.shape[2], 1.0]],
+                        np.float32), (sp.shape[0], 1))
+                else:
+                    cal_d[nm] = np.zeros(sp.shape, np.float32)
+            cal = [cal_d]
+        else:
+            cal = [cal0]
         calibrate(g_cal, cal, method="max",
                   config=EngineConfig(compute_dtype=dtype))
         g.meta.update({k: g_cal.meta[k]

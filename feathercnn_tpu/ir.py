@@ -392,6 +392,28 @@ for _op in ["ReLU", "ReLU6", "PReLU", "Sigmoid", "TanH", "BatchNorm",
     register_shape_fn(_op)(_elementwise_shape)
 
 
+@register_shape_fn("Proposal")
+def _proposal_shape(node, in_specs, graph):
+    """RPN ProposalLayer (the C++ 'Proposal' layer of the Faster R-CNN
+    Caffe forks; semantics of py-faster-rcnn's proposal_layer.py):
+    anchors + deltas -> decoded, clipped, NMS'd ROIs.  Static-shape
+    form: always (post_nms_top_n, 5) rows [batch_idx, x1, y1, x2, y2],
+    padded with zero-area boxes (and a second output is NOT emitted —
+    the deploy graphs only consume the rois)."""
+    n = int(node.attrs.get("post_nms_top_n", 300))
+    return [TensorSpec((n, 5), "float32")]
+
+
+@register_shape_fn("ROIPooling")
+def _roipool_shape(node, in_specs, graph):
+    """Fast R-CNN ROIPoolingLayer: (R, pooled_h, pooled_w, C)."""
+    r = in_specs[1].shape[0]
+    c = in_specs[0].shape[-1]
+    ph = int(node.attrs["pooled_h"])
+    pw = int(node.attrs["pooled_w"])
+    return [TensorSpec((r, ph, pw, c), in_specs[0].dtype)]
+
+
 @register_shape_fn("SPP")
 def _spp_shape(node, in_specs, graph):
     """Caffe SPPLayer (spp_layer.cpp): pyramid of MAX/AVE poolings at

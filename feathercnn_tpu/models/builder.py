@@ -324,6 +324,36 @@ class GraphBuilder:
         self._channels[out] = self._channels[x]
         return out
 
+    def proposal(self, name: str, scores: str, deltas: str,
+                 im_info: str, feat_stride: int = 16,
+                 pre_nms_top_n: int = 6000, post_nms_top_n: int = 300,
+                 nms_thresh: float = 0.7, min_size: int = 16,
+                 scales=(8.0, 16.0, 32.0),
+                 ratios=(0.5, 1.0, 2.0)) -> str:
+        """RPN ProposalLayer (Faster R-CNN forks): anchors + deltas ->
+        NMS'd (post_nms_top_n, 5) ROIs."""
+        out = self._add(Node(name, "Proposal",
+                             [scores, deltas, im_info], [name],
+                             {"feat_stride": feat_stride,
+                              "pre_nms_top_n": pre_nms_top_n,
+                              "post_nms_top_n": post_nms_top_n,
+                              "nms_thresh": nms_thresh,
+                              "min_size": min_size,
+                              "scales": list(scales),
+                              "ratios": list(ratios)}))[0]
+        self._channels[out] = 5
+        return out
+
+    def roi_pooling(self, name: str, x: str, rois: str, pooled_h: int,
+                    pooled_w: int,
+                    spatial_scale: float = 1.0 / 16) -> str:
+        """Fast R-CNN ROIPoolingLayer: (R, pooled_h, pooled_w, C)."""
+        out = self._add(Node(name, "ROIPooling", [x, rois], [name],
+                             {"pooled_h": pooled_h, "pooled_w": pooled_w,
+                              "spatial_scale": spatial_scale}))[0]
+        self._channels[out] = self._channels[x]
+        return out
+
     def spp(self, name: str, x: str, pyramid_height: int,
             mode: str = "MAX") -> str:
         """Caffe SPPLayer: fixed-length pyramid pooling head."""

@@ -17,7 +17,7 @@ __all__ = ["squeezenet_v11", "mobilenet_v1", "mobilenet_v2",
            "resnet101", "resnet152", "googlenet", "inception_v3",
            "densenet121",
            "resnext50", "alexnet", "fcn32s", "fcn16s", "fcn8s",
-           "mobilenet_ssd", "vgg16_ssd300", "build_model",
+           "mobilenet_ssd", "vgg16_ssd300", "faster_rcnn_vgg16", "build_model",
            "MODEL_BUILDERS"]
 
 
@@ -785,6 +785,60 @@ def deeplab_largefov(batch: int = 1, seed: int = 0, num_classes: int = 21,
     return b.finish([x])
 
 
+def faster_rcnn_vgg16(batch: int = 1, seed: int = 0,
+                      num_classes: int = 21, size=(600, 800),
+                      pre_nms_top_n: int = 6000,
+                      post_nms_top_n: int = 300) -> Graph:
+    """Faster R-CNN VGG16 (the public py-faster-rcnn test.prototxt
+    structure, run end-to-end on-device): VGG-16 conv body (no pool5),
+    RPN (3x3 + cls/bbox 1x1 heads, per-anchor softmax via a 5-D reshape
+    that pairs Caffe's [bg*A, fg*A] channel halves), Proposal (anchor
+    decode + NMS -> 300 ROIs), ROIPooling 7x7, fc6/fc7 heads, and
+    per-ROI cls_prob/bbox_pred outputs.  Inputs: `data` (1,H,W,3) and
+    `im_info` (1,3)=[im_h, im_w, scale].  Outputs: cls_prob (300,21),
+    bbox_pred (300,84), rois (300,5) — final per-class decode is the
+    caller's (the reference's test.py does the same host-side)."""
+    if batch != 1:
+        raise ValueError("Faster R-CNN runs batch 1 (reference deploy)")
+    h, w = size
+    b = GraphBuilder("faster_rcnn_vgg16", seed)
+    data = b.input("data", (1, h, w, 3))
+    im_info = b.input("im_info", (1, 3))
+    x = data
+    for stage, n, ch in [(1, 2, 64), (2, 2, 128), (3, 3, 256),
+                         (4, 3, 512), (5, 3, 512)]:
+        for i in range(1, n + 1):
+            x = b.conv(f"conv{stage}_{i}", x, ch, 3, pad=1, relu=True)
+        if stage < 5:
+            x = b.pool(f"pool{stage}", x, 2, 2)
+    conv5 = x                                         # (1, h/16, w/16, 512)
+
+    rpn = b.conv("rpn_conv/3x3", conv5, 512, 3, pad=1, relu=True)
+    cls_score = b.conv("rpn_cls_score", rpn, 18, 1)   # [bg*9, fg*9]
+    bbox_pred = b.conv("rpn_bbox_pred", rpn, 36, 1)
+    from ..ir import infer_shapes
+    infer_shapes(b.graph)
+    _, fh, fw, _ = b.graph.specs[cls_score].shape
+    # per-anchor softmax: split channels into (2, 9) — rows are Caffe's
+    # bg/fg halves — softmax over the 2, restore the channel layout
+    r = b.reshape("rpn_cls_score_reshape", cls_score, (1, fh, fw, 2, 9))
+    r = b.softmax("rpn_cls_prob", r)
+    b.graph.nodes[-1].attrs["axis"] = -2
+    prob = b.reshape("rpn_cls_prob_reshape", r, (1, fh, fw, 18))
+    rois = b.proposal("proposal", prob, bbox_pred, im_info,
+                      feat_stride=16, pre_nms_top_n=pre_nms_top_n,
+                      post_nms_top_n=post_nms_top_n)
+    pooled = b.roi_pooling("roi_pool5", conv5, rois, 7, 7, 1.0 / 16)
+    y = b.fc("fc6", pooled, 4096, relu=True)
+    y = b.dropout("drop6", y)
+    y = b.fc("fc7", y, 4096, relu=True)
+    y = b.dropout("drop7", y)
+    cls = b.fc("cls_score", y, num_classes)
+    cls = b.softmax("cls_prob", cls)
+    box = b.fc("bbox_pred", y, num_classes * 4)
+    return b.finish([cls, box, rois])
+
+
 def _ssd_head(b: GraphBuilder, data: str, sources, num_classes: int,
               keep_top_k: int = 100, nms_top_k: int = 400,
               confidence_threshold: float = 0.01,
@@ -945,6 +999,7 @@ MODEL_BUILDERS = {
     "pspnet50": pspnet50,
     "mobilenet_ssd": mobilenet_ssd,
     "vgg16_ssd300": vgg16_ssd300,
+    "faster_rcnn_vgg16": faster_rcnn_vgg16,
 }
 
 

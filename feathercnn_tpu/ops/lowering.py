@@ -541,6 +541,192 @@ def _lower_detection_output(node, inputs, params, ctx):
     return [jnp.concatenate([img_id, rows], axis=-1)]
 
 
+def generate_anchors(base_size=16, ratios=(0.5, 1.0, 2.0),
+                     scales=(8.0, 16.0, 32.0)) -> np.ndarray:
+    """Reference RPN anchor grid (py-faster-rcnn generate_anchors.py
+    semantics): enumerate aspect ratios of the base box, then scales.
+    Returns (A, 4) [x1, y1, x2, y2] around the base box's center."""
+    w = h = float(base_size)
+    cx = cy = (base_size - 1) * 0.5
+    out = []
+    size = w * h
+    for r in ratios:
+        ws = np.round(np.sqrt(size / r))
+        hs = np.round(ws * r)
+        for s in scales:
+            sw, sh = ws * s, hs * s
+            out.append([cx - 0.5 * (sw - 1), cy - 0.5 * (sh - 1),
+                        cx + 0.5 * (sw - 1), cy + 0.5 * (sh - 1)])
+    return np.asarray(out, np.float32)
+
+
+@register_lowering("Proposal")
+def _lower_proposal(node, inputs, params, ctx):
+    """RPN proposal generation, static-shape TPU form (semantics of
+    py-faster-rcnn proposal_layer.py / the Caffe forks' C++ Proposal
+    layer): shift the anchor grid over the feature map, decode the bbox
+    deltas (+1 width convention), clip to the image, suppress
+    sub-min_size boxes, take pre_nms_top_n by fg score, greedy-NMS via
+    the same fixpoint-sweep trick as DetectionOutput, and emit the top
+    post_nms_top_n as (R, 5) [batch_idx, x1, y1, x2, y2] rows padded
+    with zero boxes.  Batch 1 (the canonical Faster R-CNN deploy)."""
+    a = node.attrs
+    feat_stride = float(a.get("feat_stride", 16))
+    pre_n = int(a.get("pre_nms_top_n", 6000))
+    post_n = int(a.get("post_nms_top_n", 300))
+    nms_thresh = float(a.get("nms_thresh", 0.7))
+    min_size = float(a.get("min_size", 16))
+    anchors = generate_anchors(
+        int(a.get("base_size", 16)),
+        tuple(a.get("ratios", (0.5, 1.0, 2.0))),
+        tuple(a.get("scales", (8.0, 16.0, 32.0))))
+    A = anchors.shape[0]
+
+    scores, deltas, im_info = inputs
+    # im_info must be f32: under bf16 compute, im_w - 1 rounds back to
+    # im_w (799 is not a bf16 value), breaking the clip bound.
+    im_info = im_info.astype(jnp.float32)
+    n, fh, fw, c2a = scores.shape
+    if n != 1:
+        raise NotImplementedError(f"{node.name}: Proposal needs batch 1 "
+                                  f"(got {n}), like the reference layer")
+    # channels are Caffe-ordered [bg*A, fg*A]; keep the fg half
+    fg = scores[0, :, :, A:].astype(jnp.float32).reshape(-1)  # (h,w,a)
+    dl = deltas[0].astype(jnp.float32).reshape(-1, 4)
+
+    sx = (np.arange(fw, dtype=np.float32) * feat_stride)
+    sy = (np.arange(fh, dtype=np.float32) * feat_stride)
+    sxg, syg = np.meshgrid(sx, sy)                    # (fh, fw)
+    shifts = np.stack([sxg, syg, sxg, syg], -1)       # (fh, fw, 4)
+    all_anchors = (shifts[:, :, None, :] + anchors).reshape(-1, 4)
+    all_anchors = jnp.asarray(all_anchors)
+
+    # decode (bbox_transform_inv): widths carry the +1 convention
+    aw = all_anchors[:, 2] - all_anchors[:, 0] + 1.0
+    ah = all_anchors[:, 3] - all_anchors[:, 1] + 1.0
+    acx = all_anchors[:, 0] + 0.5 * aw
+    acy = all_anchors[:, 1] + 0.5 * ah
+    cx = dl[:, 0] * aw + acx
+    cy = dl[:, 1] * ah + acy
+    w = jnp.exp(dl[:, 2]) * aw
+    h = jnp.exp(dl[:, 3]) * ah
+    boxes = jnp.stack([cx - 0.5 * w, cy - 0.5 * h,
+                       cx + 0.5 * w, cy + 0.5 * h], axis=-1)
+    # clip to image (im_info rows are [im_h, im_w, im_scale])
+    im_h, im_w, im_scale = im_info[0, 0], im_info[0, 1], im_info[0, 2]
+    boxes = jnp.stack([
+        jnp.clip(boxes[:, 0], 0, im_w - 1.0),
+        jnp.clip(boxes[:, 1], 0, im_h - 1.0),
+        jnp.clip(boxes[:, 2], 0, im_w - 1.0),
+        jnp.clip(boxes[:, 3], 0, im_h - 1.0)], axis=-1)
+    # min_size filter (scaled to the input image): mask via -inf score
+    ms = min_size * im_scale
+    bw = boxes[:, 2] - boxes[:, 0] + 1.0
+    bh = boxes[:, 3] - boxes[:, 1] + 1.0
+    fg = jnp.where((bw >= ms) & (bh >= ms), fg, -jnp.inf)
+
+    K = min(pre_n, fg.shape[0])
+    top, idx = jax.lax.top_k(fg, K)
+    oh = jax.nn.one_hot(idx, boxes.shape[0], dtype=jnp.float32)
+    b = jnp.dot(oh, boxes, precision=jax.lax.Precision.HIGHEST)  # (K,4)
+
+    # greedy NMS (+1 area convention), fixpoint sweeps as in
+    # DetectionOutput — box i's verdict settles within i sweeps
+    area = (b[:, 2] - b[:, 0] + 1.0) * (b[:, 3] - b[:, 1] + 1.0)
+    lt = jnp.maximum(b[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(b[:, None, 2:], b[None, :, 2:])
+    inter = jnp.prod(jnp.maximum(rb - lt + 1.0, 0), axis=-1)
+    iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter,
+                              1e-10)
+    smat = (iou > nms_thresh) & jnp.tril(jnp.ones((K, K), jnp.bool_), -1)
+    valid = top > -jnp.inf
+
+    def cond(st):
+        keep, prev, it = st
+        return jnp.any(keep != prev) & (it < K)
+
+    def step(st):
+        keep, _, it = st
+        new = valid & ~jnp.any(smat & keep[None, :], axis=-1)
+        return new, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, step, (valid, jnp.zeros_like(valid), 0))
+
+    sc = jnp.where(keep, top, -jnp.inf)
+    R = min(post_n, K)
+    _, ri = jax.lax.top_k(sc, R)
+    oh2 = jax.nn.one_hot(ri, K, dtype=jnp.float32)
+    rb_ = jnp.dot(oh2, b, precision=jax.lax.Precision.HIGHEST)
+    good = jnp.take(keep, ri)
+    rois = jnp.where(good[:, None], rb_, 0.0)
+    if R < post_n:
+        rois = jnp.concatenate(
+            [rois, jnp.zeros((post_n - R, 4), jnp.float32)])
+    return [jnp.concatenate(
+        [jnp.zeros((post_n, 1), jnp.float32), rois], axis=-1)]
+
+
+@register_lowering("ROIPooling")
+def _lower_roipool(node, inputs, params, ctx):
+    """Fast R-CNN ROIPoolingLayer (roi_pooling_layer.cpp): quantize each
+    ROI to the feature grid (round at spatial_scale), split into
+    pooled_h x pooled_w bins with floor/ceil boundaries, MAX over each
+    bin, 0 for empty bins.  TPU form: per-bin membership masks on the H
+    and W axes, max-reduced against the feature map — static shapes, no
+    gathers; XLA fuses the select into the reductions."""
+    x, rois = inputs
+    if x.shape[0] != 1:
+        raise NotImplementedError(
+            f"{node.name}: ROIPooling needs batch 1 (the canonical "
+            "Faster R-CNN deploy); rois carry batch_idx 0")
+    ph = int(node.attrs["pooled_h"])
+    pw = int(node.attrs["pooled_w"])
+    scale = float(node.attrs.get("spatial_scale", 1.0 / 16))
+    _, H, W, C = x.shape
+    xf = x[0].astype(jnp.float32)                     # (H, W, C)
+    r = rois.astype(jnp.float32)
+    x1 = jnp.round(r[:, 1] * scale)
+    y1 = jnp.round(r[:, 2] * scale)
+    x2 = jnp.round(r[:, 3] * scale)
+    y2 = jnp.round(r[:, 4] * scale)
+    rw = jnp.maximum(x2 - x1 + 1.0, 1.0)              # (R,)
+    rh = jnp.maximum(y2 - y1 + 1.0, 1.0)
+
+    def axis_masks(start, length, bins, size):
+        """(R, bins, size) membership masks with Caffe's floor/ceil bin
+        boundaries, clipped to [0, size).  Integer arithmetic — the
+        rounded ROI coords are integer-valued, and XLA's reciprocal-
+        multiply rewrite of f32 division flips exact boundaries
+        (jit ceil(3 * (7/3)) == 8 on CPU, measured)."""
+        st = start.astype(jnp.int32)
+        ln = length.astype(jnp.int32)
+        i = jnp.arange(bins, dtype=jnp.int32)
+        lo = (i[None, :] * ln[:, None]) // bins + st[:, None]
+        hi = ((i[None, :] + 1) * ln[:, None] + bins - 1) // bins \
+            + st[:, None]
+        lo = jnp.clip(lo, 0, size)
+        hi = jnp.clip(hi, 0, size)
+        pos = jnp.arange(size, dtype=jnp.int32)
+        return ((pos >= lo[..., None]) & (pos < hi[..., None]))
+
+    mh = axis_masks(y1, rh, ph, H)                    # (R, ph, H)
+    mw = axis_masks(x1, rw, pw, W)                    # (R, pw, W)
+
+    def per_roi(mh_r, mw_r):
+        # (ph, H, 1, 1) select -> max over H -> (ph, W, C)
+        t = jnp.max(jnp.where(mh_r[:, :, None, None], xf[None], -jnp.inf),
+                    axis=1)
+        # (pw, W) select against (ph, W, C) -> max over W
+        o = jnp.max(jnp.where(mw_r[None, :, :, None], t[:, None],
+                              -jnp.inf), axis=2)      # (ph, pw, C)
+        return o
+
+    out = jax.vmap(per_roi)(mh, mw)                   # (R, ph, pw, C)
+    out = jnp.where(jnp.isfinite(out), out, 0.0)      # empty bins -> 0
+    return [out.astype(x.dtype)]
+
+
 @register_lowering("ArgMax")
 def _lower_argmax(node, inputs, params, ctx):
     """Caffe ArgMaxLayer.  With `axis`: that dim -> top_k indices (or max

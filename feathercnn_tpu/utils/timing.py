@@ -18,7 +18,7 @@ import jax.numpy as jnp
 __all__ = ["device_bench", "engine_loop", "slope_time"]
 
 
-def engine_loop(eng, x=None):
+def engine_loop(eng, x=None, extras=None):
     """Build the canonical whole-model timing loop for an Engine.
 
     Returns ``(loop, params, x_device)`` where ``loop(params, x, n)``
@@ -27,17 +27,34 @@ def engine_loop(eng, x=None):
     single scalar whose fetch is the only true sync point.  Shared by
     bench.py, bench/batch_sweep.py, and tools/autotune.py --flags so the
     timing method lives in exactly one place.
+
+    Multi-input engines: the FIRST graph input is the perturbed tensor;
+    the rest come from ``extras`` (name -> array) or default heuristics
+    (``im_info`` -> [h, w, 1], else zeros).
     """
     import numpy as np
 
     fwd = eng._build_forward()
     params = eng._prepare_params()
-    (in_name,) = eng.graph.inputs
+    names = list(eng.graph.inputs)
+    in_name = names[0]
     first_out = eng.graph.outputs[0]
+    spec0 = eng.graph.inputs[in_name]
     if x is None:
-        spec = next(iter(eng.graph.inputs.values()))
         x = np.random.default_rng(0).normal(
-            size=spec.shape).astype(np.float32)
+            size=spec0.shape).astype(np.float32)
+    fixed = {}
+    for nm in names[1:]:
+        sp = eng.graph.inputs[nm]
+        if extras and nm in extras:
+            arr = np.asarray(extras[nm], np.float32)
+        elif nm == "im_info" and len(spec0.shape) == 4:
+            arr = np.tile(np.asarray(
+                [[spec0.shape[1], spec0.shape[2], 1.0]], np.float32),
+                (sp.shape[0], 1))
+        else:
+            arr = np.zeros(sp.shape, np.float32)
+        fixed[nm] = jax.device_put(jnp.asarray(arr))
 
     @jax.jit
     def loop(params, x, n):
@@ -47,7 +64,7 @@ def engine_loop(eng, x=None):
             else:
                 xi = x + jnp.asarray(i, x.dtype) * jnp.asarray(1e-6,
                                                                x.dtype)
-            out = fwd(params, {in_name: xi})
+            out = fwd(params, {in_name: xi, **fixed})
             # Reduce over the WHOLE output: a single element can be a
             # data-independent constant (DetectionOutput's img_id column),
             # which lets XLA dead-code the entire network.  The full-sum

@@ -144,3 +144,55 @@ def test_fcn_family_shapes():
         for size in (224, 320):
             g = fn(batch=1, size=size, num_classes=21)
             assert g.specs["prob"].shape == (1, size, size, 21), fn
+
+
+def test_faster_rcnn_structure_and_mini_forward(rng):
+    """Faster R-CNN VGG16 zoo: deploy shapes (38x50 feature at 600x800,
+    300 ROIs, 21-class head); then a tiny builder-level two-stage net
+    runs the Proposal -> ROIPooling -> FC pipeline end to end."""
+    from feathercnn_tpu.models import faster_rcnn_vgg16
+    g = faster_rcnn_vgg16()
+    assert g.specs["conv5_3"].shape == (1, 38, 50, 512)
+    assert g.specs["proposal"].shape == (300, 5)
+    assert g.specs["roi_pool5"].shape == (300, 7, 7, 512)
+    assert g.specs["cls_prob"].shape == (300, 21)
+    assert g.specs["bbox_pred"].shape == (300, 84)
+
+    from feathercnn_tpu.models.builder import GraphBuilder
+    b = GraphBuilder("mini_frcnn", seed=5)
+    data = b.input("data", (1, 64, 48, 3))
+    im_info = b.input("im_info", (1, 3))
+    x = b.conv("c1", data, 8, 3, stride=2, pad=1, relu=True)
+    x = b.pool("p1", x, 2, 2)
+    x = b.conv("c2", x, 16, 3, pad=1, relu=True)     # stride 8 feature
+    rpn = b.conv("rpn", x, 16, 3, pad=1, relu=True)
+    cls = b.conv("rpn_cls", rpn, 18, 1)
+    box = b.conv("rpn_box", rpn, 36, 1)
+    _, fh, fw, _ = b.graph.specs["rpn"].shape if b.graph.specs else (0,)*4
+    from feathercnn_tpu.ir import infer_shapes
+    infer_shapes(b.graph)
+    _, fh, fw, _ = b.graph.specs["rpn_cls"].shape
+    r = b.reshape("cls_rs", cls, (1, fh, fw, 2, 9))
+    r = b.softmax("cls_sm", r)
+    b.graph.nodes[-1].attrs["axis"] = -2
+    prob = b.reshape("cls_back", r, (1, fh, fw, 18))
+    rois = b.proposal("rois", prob, box, im_info, feat_stride=8,
+                      pre_nms_top_n=64, post_nms_top_n=16, min_size=4)
+    pooled = b.roi_pooling("pool", x, rois, 3, 3, 1.0 / 8)
+    y = b.fc("fc", pooled, 8, relu=True)
+    out = b.fc("score", y, 4)
+    out = b.softmax("probs", out)
+    g = b.finish([out, rois])
+
+    xv = rng.normal(size=(1, 64, 48, 3)).astype(np.float32)
+    info = np.asarray([[64.0, 48.0, 1.0]], np.float32)
+    res = Engine(g).run({"data": xv, "im_info": info})
+    probs = np.asarray(res["probs"])
+    rois_v = np.asarray(res["rois"])
+    assert probs.shape == (16, 4)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
+    assert rois_v.shape == (16, 5)
+    # rois lie inside the image (clip) and batch_idx is 0
+    assert (rois_v[:, 0] == 0).all()
+    assert (rois_v[:, 1] >= 0).all() and (rois_v[:, 3] <= 47).all()
+    assert (rois_v[:, 2] >= 0).all() and (rois_v[:, 4] <= 63).all()

@@ -339,3 +339,113 @@ def test_scale_two_bottom_with_bias(rng):
         {"data": x, "gate": s})["sc"])
     got = np.asarray(eng.run({"data": x, "gate": s})["sc"])
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def _np_roipool(x, rois, ph, pw, scale):
+    """Direct numpy port of Caffe roi_pooling_layer.cpp Forward."""
+    H, W, C = x.shape
+    out = np.zeros((len(rois), ph, pw, C), np.float32)
+    for r, roi in enumerate(rois):
+        x1, y1, x2, y2 = [int(round(v * scale)) for v in roi[1:]]
+        rw = max(x2 - x1 + 1, 1)
+        rh = max(y2 - y1 + 1, 1)
+        bh, bw = rh / ph, rw / pw
+        for i in range(ph):
+            for j in range(pw):
+                hs = min(max(int(np.floor(i * bh)) + y1, 0), H)
+                he = min(max(int(np.ceil((i + 1) * bh)) + y1, 0), H)
+                ws = min(max(int(np.floor(j * bw)) + x1, 0), W)
+                we = min(max(int(np.ceil((j + 1) * bw)) + x1, 0), W)
+                if he > hs and we > ws:
+                    out[r, i, j] = x[hs:he, ws:we].max(axis=(0, 1))
+    return out
+
+
+def test_roipooling_vs_numpy(rng):
+    x = rng.normal(size=(1, 14, 10, 6)).astype(np.float32)
+    rois = np.asarray([
+        [0, 0, 0, 100, 100],      # near-whole image (raw coords / 16)
+        [0, 32, 16, 128, 96],
+        [0, 80, 64, 81, 65],      # tiny -> empty bins
+        [0, 0, 48, 159, 223],
+    ], np.float32)
+    g = Graph("t", {"x": TensorSpec(x.shape),
+                    "rois": TensorSpec(rois.shape)}, ["y"],
+              [Node("n", "ROIPooling", ["x", "rois"], ["y"],
+                    {"pooled_h": 3, "pooled_w": 4,
+                     "spatial_scale": 1 / 16.0})])
+    y = np.asarray(Engine(g, optimize_graph=False).run(
+        {"x": x, "rois": rois})["y"])
+    ref = _np_roipool(x[0], rois, 3, 4, 1 / 16.0)
+    np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)
+
+
+def _np_proposal(scores, deltas, im_info, anchors, feat_stride,
+                 pre_n, post_n, thresh, min_size):
+    """Direct numpy port of py-faster-rcnn proposal_layer.py."""
+    A = anchors.shape[0]
+    fh, fw = scores.shape[1:3]
+    fg = scores[0, :, :, A:].reshape(-1)
+    dl = deltas[0].reshape(-1, 4)
+    sx, sy = np.meshgrid(np.arange(fw) * feat_stride,
+                         np.arange(fh) * feat_stride)
+    shifts = np.stack([sx, sy, sx, sy], -1).astype(np.float32)
+    anc = (shifts[:, :, None, :] + anchors).reshape(-1, 4)
+    aw = anc[:, 2] - anc[:, 0] + 1
+    ah = anc[:, 3] - anc[:, 1] + 1
+    cx = dl[:, 0] * aw + anc[:, 0] + 0.5 * aw
+    cy = dl[:, 1] * ah + anc[:, 1] + 0.5 * ah
+    w = np.exp(dl[:, 2]) * aw
+    h = np.exp(dl[:, 3]) * ah
+    boxes = np.stack([cx - 0.5 * w, cy - 0.5 * h,
+                      cx + 0.5 * w, cy + 0.5 * h], -1)
+    boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, im_info[1] - 1)
+    boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, im_info[0] - 1)
+    ms = min_size * im_info[2]
+    keep = ((boxes[:, 2] - boxes[:, 0] + 1 >= ms)
+            & (boxes[:, 3] - boxes[:, 1] + 1 >= ms))
+    boxes, fg = boxes[keep], fg[keep]
+    order = np.argsort(-fg)[:pre_n]
+    boxes, fg = boxes[order], fg[order]
+    picked = []
+    area = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+    for i in range(len(boxes)):
+        ok = True
+        for j in picked:
+            lt = np.maximum(boxes[i, :2], boxes[j, :2])
+            rb = np.minimum(boxes[i, 2:], boxes[j, 2:])
+            inter = np.prod(np.maximum(rb - lt + 1, 0))
+            if inter / (area[i] + area[j] - inter) > thresh:
+                ok = False
+                break
+        if ok:
+            picked.append(i)
+        if len(picked) >= post_n:
+            break
+    return boxes[picked]
+
+
+def test_proposal_vs_numpy(rng):
+    """Proposal vs a direct numpy port of proposal_layer.py (anchor
+    grid, +1 decode, clip, min-size, greedy NMS, top post_nms)."""
+    fh, fw, A = 6, 5, 9
+    scores = rng.random(size=(1, fh, fw, 2 * A)).astype(np.float32)
+    deltas = (rng.normal(size=(1, fh, fw, 4 * A)) * 0.3).astype(np.float32)
+    im_info = np.asarray([[96.0, 80.0, 1.0]], np.float32)
+    attrs = {"feat_stride": 16, "pre_nms_top_n": 100,
+             "post_nms_top_n": 20, "nms_thresh": 0.7, "min_size": 8}
+    g = Graph("t", {"s": TensorSpec(scores.shape),
+                    "d": TensorSpec(deltas.shape),
+                    "i": TensorSpec(im_info.shape)}, ["y"],
+              [Node("n", "Proposal", ["s", "d", "i"], ["y"], attrs)])
+    y = np.asarray(Engine(g, optimize_graph=False).run(
+        {"s": scores, "d": deltas, "i": im_info})["y"])
+    from feathercnn_tpu.ops.lowering import generate_anchors
+    ref = _np_proposal(scores, deltas, im_info[0], generate_anchors(),
+                       16, 100, 20, 0.7, 8)
+    assert y.shape == (20, 5)
+    np.testing.assert_array_equal(y[:, 0], 0.0)
+    k = len(ref)
+    np.testing.assert_allclose(y[:k, 1:], ref, rtol=1e-4, atol=1e-3)
+    if k < 20:
+        np.testing.assert_array_equal(y[k:], 0.0)

@@ -438,6 +438,32 @@ class Converter:
                      "scale": float(p.get("scale", 1.0)),
                      "shift": float(p.get("shift", 0.0))}
             op = "Power"
+        elif ltype == "Proposal":
+            # the Faster R-CNN forks' C++ proposal layer; the reference
+            # python layer's params arrive via proposal_param in those
+            # forks.  NOTE: deploys that express the RPN softmax as
+            # NCHW Reshape(0,2,-1,0) cannot be converted mechanically
+            # (NHWC storage changes the reshape's channel pairing) —
+            # build the graph via models/zoo.py:faster_rcnn_vgg16
+            # instead and load converted weights into it.
+            p = layer.get("proposal_param", {})
+            attrs = {"feat_stride": int(p.get("feat_stride", 16)),
+                     "pre_nms_top_n": int(p.get("pre_nms_topn", 6000)),
+                     "post_nms_top_n": int(p.get("post_nms_topn", 300)),
+                     "nms_thresh": float(p.get("nms_thresh", 0.7)),
+                     "min_size": int(p.get("min_size", 16))}
+            if p.get("scale") is not None:
+                attrs["scales"] = [float(s) for s in _as_list(p["scale"])]
+            if p.get("ratio") is not None:
+                attrs["ratios"] = [float(r) for r in _as_list(p["ratio"])]
+            op = "Proposal"
+        elif ltype == "ROIPooling":
+            p = layer.get("roi_pooling_param", {})
+            attrs = {"pooled_h": int(p.get("pooled_h", 7)),
+                     "pooled_w": int(p.get("pooled_w", 7)),
+                     "spatial_scale": float(p.get("spatial_scale",
+                                                  1.0 / 16))}
+            op = "ROIPooling"
         elif ltype == "SPP":
             p = layer.get("spp_param", {})
             attrs = {"pyramid_height": int(p.get("pyramid_height", 1)),
