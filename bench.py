@@ -71,7 +71,8 @@ BEST_BATCH = {
     # flat 16-64 (compute-bound) — take b16 for latency
     "mobilenet_ssd": 128, "vgg16_ssd300": 16,
     # 2026-08-19 additions (paired sweeps, BASELINE.md)
-    "mobilenet_v2": 128, "shufflenet_v1": 128, "se_resnet50": 96,
+    "mobilenet_v2": 128, "shufflenet_v1": 128, "shufflenet_v2": 128,
+    "se_resnet50": 96,
     "inception_v3": 128,
     # two-stage detection runs batch 1 (the reference deploy)
     "faster_rcnn_vgg16": 1,

@@ -9,11 +9,11 @@ VGG-16, ResNet-50, GoogLeNet/Inception-v1.  Weights are seeded-random
 
 from __future__ import annotations
 
-from ..ir import Graph
+from ..ir import Graph, Node
 from .builder import GraphBuilder
 
 __all__ = ["squeezenet_v11", "mobilenet_v1", "mobilenet_v2",
-           "shufflenet_v1", "vgg16", "resnet50", "se_resnet50",
+           "shufflenet_v1", "shufflenet_v2", "vgg16", "resnet50", "se_resnet50",
            "resnet101", "resnet152", "googlenet", "inception_v3",
            "densenet121",
            "resnext50", "alexnet", "fcn32s", "fcn16s", "fcn8s",
@@ -218,6 +218,74 @@ def shufflenet_v1(batch: int = 1, seed: int = 0, groups: int = 3,
     g = b.finish([x])
     # Measured on v5e (BASELINE.md): grouped 1x1 / depthwise int8 edges
     # lose at these tiny channel counts (paired +4.5% with them off).
+    g.meta["config_overrides"] = {"int8_grouped": False}
+    return g
+
+
+def shufflenet_v2(batch: int = 1, seed: int = 0, width: str = "1.0x",
+                  with_softmax: bool = True) -> Graph:
+    """ShuffleNet v2 (224x224), the public Caffe deploy structure
+    (miaow1988/ShuffleNet_V2_pytorch_caffe exports): stride-1 units
+    Slice channels in half, run 1x1 -> dw3x3 -> 1x1 on one half, Concat
+    and ShuffleChannel(2); stride-2 units run both branches on the full
+    input.  Exercises Slice + ShuffleChannel + Concat composition."""
+    stage_out = {"0.5x": [48, 96, 192, 1024],
+                 "1.0x": [116, 232, 464, 1024],
+                 "1.5x": [176, 352, 704, 1024],
+                 "2.0x": [244, 488, 976, 2048]}[width]
+    b = GraphBuilder("shufflenet_v2", seed)
+
+    def conv_bn(name, x, ch, kernel=1, stride=1, pad=0, group=1,
+                relu=True):
+        x = b.conv(name, x, ch, kernel, stride, pad, group=group,
+                   bias=False)
+        x = b.bn_scale(name + "_bnsc", x)
+        if relu:
+            x = b.relu(name + "_relu", x)
+        return x
+
+    def unit(name, x, out_ch, stride):
+        cin = b._channels[x]
+        half = out_ch // 2
+        if stride == 1:
+            l, r = b._add(Node(name + "_slice", "Slice", [x],
+                               [name + "_l", name + "_r"],
+                               {"axis": -1}))
+            b._channels[name + "_l"] = cin // 2
+            b._channels[name + "_r"] = cin // 2
+            y = conv_bn(name + "_c1", r, half, 1)
+            y = conv_bn(name + "_dw", y, half, 3, 1, 1, group=half,
+                        relu=False)
+            y = conv_bn(name + "_c2", y, half, 1)
+            out = b.concat(name + "_concat", [l, y])
+        else:
+            sc = conv_bn(name + "_sdw", x, cin, 3, 2, 1, group=cin,
+                         relu=False)
+            sc = conv_bn(name + "_sc", sc, half, 1)
+            y = conv_bn(name + "_c1", x, half, 1)
+            y = conv_bn(name + "_dw", y, half, 3, 2, 1, group=half,
+                        relu=False)
+            y = conv_bn(name + "_c2", y, half, 1)
+            out = b.concat(name + "_concat", [sc, y])
+        return b.shuffle_channel(name + "_shuffle", out, 2)
+
+    x = b.input("data", (batch, 224, 224, 3))
+    x = conv_bn("conv1", x, 24, 3, 2, 1)
+    x = b.pool("pool1", x, 3, 2)
+    n = 0
+    for stage, (out_ch, repeats) in enumerate(
+            zip(stage_out[:3], (4, 8, 4)), start=2):
+        for i in range(repeats):
+            n += 1
+            x = unit(f"unit{n}", x, out_ch, stride=2 if i == 0 else 1)
+    x = conv_bn("conv5", x, stage_out[3], 1)
+    x = b.pool("pool5", x, 0, mode="AVE", global_pooling=True)
+    x = b.fc("fc", x, 1000)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    g = b.finish([x])
+    # same profile as v1: tiny grouped/depthwise channels — keep those
+    # edges bf16 (measured family behavior, BASELINE.md)
     g.meta["config_overrides"] = {"int8_grouped": False}
     return g
 
@@ -982,6 +1050,7 @@ MODEL_BUILDERS = {
     "mobilenet_v1": mobilenet_v1,
     "mobilenet_v2": mobilenet_v2,
     "shufflenet_v1": shufflenet_v1,
+    "shufflenet_v2": shufflenet_v2,
     "vgg16": vgg16,
     "resnet50": resnet50,
     "se_resnet50": se_resnet50,

@@ -12,6 +12,7 @@ EXPECTED_OUT = {
     "mobilenet_v1": (1, 1000),
     "mobilenet_v2": (1, 1000),
     "shufflenet_v1": (1, 1000),
+    "shufflenet_v2": (1, 1000),
     "se_resnet50": (1, 1000),
     "inception_v3": (1, 1000),
     "vgg16": (1, 1000),
@@ -25,7 +26,7 @@ EXPECTED_OUT = {
 # vgg16 is slow on the CPU test backend; covered by test_vgg_like_small and
 # the TPU bench instead.
 FAST_MODELS = ["squeezenet_v11", "mobilenet_v1", "mobilenet_v2",
-               "shufflenet_v1", "resnet50", "se_resnet50", "googlenet",
+               "shufflenet_v1", "shufflenet_v2", "resnet50", "se_resnet50", "googlenet",
                "inception_v3", "densenet121", "resnext50", "alexnet"]
 
 
