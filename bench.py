@@ -75,7 +75,7 @@ BEST_BATCH = {
     "se_resnet50": 96,
     "inception_v3": 128,
     # two-stage detection runs batch 1 (the reference deploy)
-    "faster_rcnn_vgg16": 1,
+    "faster_rcnn_vgg16": 1, "rfcn_resnet101": 1,
 }
 
 

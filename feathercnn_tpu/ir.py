@@ -414,6 +414,22 @@ def _roipool_shape(node, in_specs, graph):
     return [TensorSpec((r, ph, pw, c), in_specs[0].dtype)]
 
 
+@register_shape_fn("PSROIPooling")
+def _psroipool_shape(node, in_specs, graph):
+    """R-FCN's position-sensitive ROI pooling (psroi_pooling_layer.cu):
+    (R, group_size, group_size, output_dim) — each bin averages its own
+    channel group."""
+    r = in_specs[1].shape[0]
+    k = int(node.attrs["group_size"])
+    c = int(node.attrs["output_dim"])
+    cin = in_specs[0].shape[-1]
+    if cin != k * k * c:
+        raise ValueError(
+            f"{node.name}: PSROIPooling input channels {cin} != "
+            f"group_size^2 * output_dim = {k * k * c}")
+    return [TensorSpec((r, k, k, c), in_specs[0].dtype)]
+
+
 @register_shape_fn("SPP")
 def _spp_shape(node, in_specs, graph):
     """Caffe SPPLayer (spp_layer.cpp): pyramid of MAX/AVE poolings at

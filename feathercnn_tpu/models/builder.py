@@ -354,6 +354,17 @@ class GraphBuilder:
         self._channels[out] = self._channels[x]
         return out
 
+    def psroi_pooling(self, name: str, x: str, rois: str,
+                      output_dim: int, group_size: int,
+                      spatial_scale: float = 1.0 / 16) -> str:
+        """R-FCN position-sensitive ROI pooling."""
+        out = self._add(Node(name, "PSROIPooling", [x, rois], [name],
+                             {"output_dim": output_dim,
+                              "group_size": group_size,
+                              "spatial_scale": spatial_scale}))[0]
+        self._channels[out] = output_dim
+        return out
+
     def spp(self, name: str, x: str, pyramid_height: int,
             mode: str = "MAX") -> str:
         """Caffe SPPLayer: fixed-length pyramid pooling head."""

@@ -17,7 +17,7 @@ __all__ = ["squeezenet_v11", "mobilenet_v1", "mobilenet_v2",
            "resnet101", "resnet152", "googlenet", "inception_v3",
            "densenet121",
            "resnext50", "alexnet", "fcn32s", "fcn16s", "fcn8s",
-           "mobilenet_ssd", "vgg16_ssd300", "faster_rcnn_vgg16", "build_model",
+           "mobilenet_ssd", "vgg16_ssd300", "faster_rcnn_vgg16", "rfcn_resnet101", "build_model",
            "MODEL_BUILDERS"]
 
 
@@ -907,6 +907,87 @@ def faster_rcnn_vgg16(batch: int = 1, seed: int = 0,
     return b.finish([cls, box, rois])
 
 
+def rfcn_resnet101(batch: int = 1, seed: int = 0, num_classes: int = 21,
+                   size=(600, 800), post_nms_top_n: int = 300) -> Graph:
+    """R-FCN ResNet-101 (the public py-R-FCN test_agnostic prototxt
+    structure, class-aware head): ResNet-101 with an a-trous stage 5
+    (stride 1, dilation 2 — output stride 16), RPN on the stage-4
+    output, Proposal, 1x1 conv_new_1 (1024), position-sensitive score
+    maps rfcn_cls (k^2*C) / rfcn_bbox (k^2*8), PSROIPooling (k=7), and
+    per-ROI global AVE vote -> cls_prob / bbox_pred.  Fully on-device
+    like the Faster R-CNN zoo model."""
+    if batch != 1:
+        raise ValueError("R-FCN runs batch 1 (reference deploy)")
+    h, w = size
+    b = GraphBuilder("rfcn_resnet101", seed)
+    data = b.input("data", (1, h, w, 3))
+    im_info = b.input("im_info", (1, 3))
+
+    def conv_bn(name, x, ch, kernel, stride=1, pad=0, dilation=1,
+                relu=True):
+        x = b.conv(name, x, ch, kernel, stride, pad, dilation=dilation,
+                   bias=False)
+        x = b.bn_scale("bn" + name[3:] if name.startswith("res")
+                       else name + "_bn", x)
+        if relu:
+            x = b.relu(name + "_relu", x)
+        return x
+
+    def bottleneck(name, x, ch, stride=1, dilation=1, project=False):
+        shortcut = x
+        if project:
+            shortcut = conv_bn(f"res{name}_branch1", x, ch * 4, 1,
+                               stride=stride, relu=False)
+        y = conv_bn(f"res{name}_branch2a", x, ch, 1, stride=stride)
+        y = conv_bn(f"res{name}_branch2b", y, ch, 3, pad=dilation,
+                    dilation=dilation)
+        y = conv_bn(f"res{name}_branch2c", y, ch * 4, 1, relu=False)
+        out = b.eltwise(f"res{name}", [shortcut, y])
+        return b.relu(f"res{name}_relu", out)
+
+    x = conv_bn("conv1", data, 64, 7, stride=2, pad=3)
+    x = b.pool("pool1", x, 3, 2)
+    for stage, (ch, blocks, stride, dil) in enumerate(
+            zip([64, 128, 256, 512], [3, 4, 23, 3], [1, 2, 2, 1],
+                [1, 1, 1, 2]), start=2):
+        numbered = stage in (3, 4)
+        for i in range(blocks):
+            blk = ("a" if i == 0 else f"b{i}") if numbered \
+                else chr(ord("a") + i)
+            x = bottleneck(f"{stage}{blk}", x, ch,
+                           stride=stride if i == 0 else 1,
+                           dilation=dil, project=(i == 0))
+        if stage == 4:
+            res4 = x                                  # stride-16, 1024ch
+
+    rpn = b.conv("rpn_conv/3x3", res4, 512, 3, pad=1, relu=True)
+    cls_score = b.conv("rpn_cls_score", rpn, 18, 1)
+    bbox = b.conv("rpn_bbox_pred", rpn, 36, 1)
+    from ..ir import infer_shapes
+    infer_shapes(b.graph)
+    _, fh, fw, _ = b.graph.specs[cls_score].shape
+    r = b.reshape("rpn_cls_score_reshape", cls_score, (1, fh, fw, 2, 9))
+    r = b.softmax("rpn_cls_prob", r)
+    b.graph.nodes[-1].attrs["axis"] = -2
+    prob = b.reshape("rpn_cls_prob_reshape", r, (1, fh, fw, 18))
+    rois = b.proposal("proposal", prob, bbox, im_info, feat_stride=16,
+                      post_nms_top_n=post_nms_top_n)
+
+    x = b.conv("conv_new_1", x, 1024, 1, relu=True)
+    k = 7
+    cls_map = b.conv("rfcn_cls", x, k * k * num_classes, 1)
+    loc_map = b.conv("rfcn_bbox", x, k * k * 8, 1)
+    cls = b.psroi_pooling("psroipooled_cls_rois", cls_map, rois,
+                          num_classes, k)
+    cls = b.pool("ave_cls_score_rois", cls, 0, mode="AVE",
+                 global_pooling=True)
+    cls = b.softmax("cls_prob", cls)
+    loc = b.psroi_pooling("psroipooled_loc_rois", loc_map, rois, 8, k)
+    loc = b.pool("ave_bbox_pred_rois", loc, 0, mode="AVE",
+                 global_pooling=True)
+    return b.finish([cls, loc, rois])
+
+
 def _ssd_head(b: GraphBuilder, data: str, sources, num_classes: int,
               keep_top_k: int = 100, nms_top_k: int = 400,
               confidence_threshold: float = 0.01,
@@ -1069,6 +1150,7 @@ MODEL_BUILDERS = {
     "mobilenet_ssd": mobilenet_ssd,
     "vgg16_ssd300": vgg16_ssd300,
     "faster_rcnn_vgg16": faster_rcnn_vgg16,
+    "rfcn_resnet101": rfcn_resnet101,
 }
 
 

@@ -727,6 +727,65 @@ def _lower_roipool(node, inputs, params, ctx):
     return [out.astype(x.dtype)]
 
 
+@register_lowering("PSROIPooling")
+def _lower_psroipool(node, inputs, params, ctx):
+    """R-FCN position-sensitive ROI pooling (psroi_pooling_layer.cu):
+    roi_start = round(coord) * spatial_scale, roi_end =
+    round(coord + 1) * spatial_scale; bin (i, j) AVERAGES its window of
+    channel group (c*k + i)*k + j; empty bins -> 0.
+
+    TPU form: AVE pooling is linear, so each ROI reduces to two mask
+    matmuls — sum[r,i,j,c] = mh[r,i,:] @ x[:,:,i,j,c] @ mw[r,j,:] — one
+    einsum on the MXU, no gathers.  Bin boundaries use exact rational
+    arithmetic (coords are integers after round; spatial_scale = 1/q):
+    floor(i*bin + start) = (i*(E-S) + k*S) // (k*q) — float floor/ceil
+    flips under XLA's reciprocal-multiply division rewrite."""
+    x, rois = inputs
+    if x.shape[0] != 1:
+        raise NotImplementedError(f"{node.name}: batch 1 only")
+    k = int(node.attrs["group_size"])
+    cdim = int(node.attrs["output_dim"])
+    scale = float(node.attrs.get("spatial_scale", 1.0 / 16))
+    q = int(round(1.0 / scale))
+    if abs(1.0 / scale - q) > 1e-4:
+        raise NotImplementedError(
+            f"{node.name}: spatial_scale {scale} is not 1/int")
+    _, H, W, _ = x.shape
+    # channel layout (Caffe): idx = (c*k + gh)*k + gw -> (H, W, C, k, k)
+    xs = x[0].astype(jnp.float32).reshape(H, W, cdim, k, k)
+    xs = jnp.transpose(xs, (0, 1, 3, 4, 2))           # (H, W, k, k, C)
+
+    r = rois.astype(jnp.float32)
+    S_x = jnp.round(r[:, 1]).astype(jnp.int32)        # pixel units
+    S_y = jnp.round(r[:, 2]).astype(jnp.int32)
+    E_x = jnp.round(r[:, 3] + 1.0).astype(jnp.int32)
+    E_y = jnp.round(r[:, 4] + 1.0).astype(jnp.int32)
+    L_x = jnp.maximum(E_x - S_x, 1)                   # degenerate -> 1px
+    L_y = jnp.maximum(E_y - S_y, 1)
+
+    def axis_masks(S, L, size):
+        """(R, k, size) membership: [ (i*L + k*S)//(k*q),
+        ((i+1)*L + k*S + k*q - 1)//(k*q) ), clipped to [0, size)."""
+        i = jnp.arange(k, dtype=jnp.int32)
+        lo = (i[None, :] * L[:, None] + k * S[:, None]) // (k * q)
+        hi = ((i[None, :] + 1) * L[:, None] + k * S[:, None]
+              + k * q - 1) // (k * q)
+        lo = jnp.clip(lo, 0, size)
+        hi = jnp.clip(hi, 0, size)
+        pos = jnp.arange(size, dtype=jnp.int32)
+        m = (pos >= lo[..., None]) & (pos < hi[..., None])
+        return m.astype(jnp.float32)
+
+    mh = axis_masks(S_y, L_y, H)                      # (R, k, H)
+    mw = axis_masks(S_x, L_x, W)                      # (R, k, W)
+    ssum = jnp.einsum("rih,rjw,hwijc->rijc", mh, mw, xs,
+                      precision=jax.lax.Precision.HIGHEST)
+    count = (mh.sum(-1)[:, :, None] * mw.sum(-1)[:, None, :])
+    out = jnp.where(count[..., None] > 0,
+                    ssum / jnp.maximum(count[..., None], 1.0), 0.0)
+    return [out.astype(x.dtype)]
+
+
 @register_lowering("ArgMax")
 def _lower_argmax(node, inputs, params, ctx):
     """Caffe ArgMaxLayer.  With `axis`: that dim -> top_k indices (or max
@@ -1212,8 +1271,16 @@ def _lower_slice(node, inputs, params, ctx):
 @register_lowering("Softmax")
 def _lower_softmax(node, inputs, params, ctx):
     axis = node.attrs.get("axis", -1)
-    return [jax.nn.softmax(inputs[0].astype(jnp.float32), axis=axis)
-            .astype(inputs[0].dtype)]
+    xf = inputs[0].astype(jnp.float32)
+    if inputs[0].dtype != jnp.float32:
+        # Backend miscompile (measured on the v5e tunnel): when the
+        # low-precision->f32 upcast fuses into the softmax, the
+        # compiled kernel loses the max-subtraction and exp overflows
+        # to inf/inf = NaN for |logits| > ~88 (R-FCN's random-weight
+        # vote logits hit ±1e6).  A barrier after the upcast keeps the
+        # stable form; pure-f32 inputs compile correctly.
+        xf = jax.lax.optimization_barrier(xf)
+    return [jax.nn.softmax(xf, axis=axis).astype(inputs[0].dtype)]
 
 
 @register_lowering("LRN")

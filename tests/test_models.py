@@ -197,3 +197,48 @@ def test_faster_rcnn_structure_and_mini_forward(rng):
     assert (rois_v[:, 0] == 0).all()
     assert (rois_v[:, 1] >= 0).all() and (rois_v[:, 3] <= 47).all()
     assert (rois_v[:, 2] >= 0).all() and (rois_v[:, 4] <= 63).all()
+
+
+def test_rfcn_structure_and_mini_forward(rng):
+    """R-FCN ResNet-101 zoo: a-trous stage-5 keeps stride 16 (38x50 at
+    600x800), PSROIPooling + vote shapes; then a tiny builder-level
+    R-FCN runs Proposal -> PSROIPooling -> vote end to end."""
+    from feathercnn_tpu.models import rfcn_resnet101
+    g = rfcn_resnet101()
+    assert g.specs["res5c"].shape == (1, 38, 50, 2048)
+    assert g.specs["psroipooled_cls_rois"].shape == (300, 7, 7, 21)
+    assert g.specs["cls_prob"].shape == (300, 1, 1, 21)
+    assert g.specs["ave_bbox_pred_rois"].shape == (300, 1, 1, 8)
+
+    from feathercnn_tpu.models.builder import GraphBuilder
+    from feathercnn_tpu.ir import infer_shapes
+    b = GraphBuilder("mini_rfcn", seed=6)
+    data = b.input("data", (1, 64, 48, 3))
+    im_info = b.input("im_info", (1, 3))
+    x = b.conv("c1", data, 8, 3, stride=2, pad=1, relu=True)
+    x = b.pool("p1", x, 2, 2)
+    x = b.conv("c2", x, 16, 3, pad=1, relu=True)     # stride 8
+    rpn = b.conv("rpn", x, 16, 3, pad=1, relu=True)
+    cls = b.conv("rpn_cls", rpn, 18, 1)
+    box = b.conv("rpn_box", rpn, 36, 1)
+    infer_shapes(b.graph)
+    _, fh, fw, _ = b.graph.specs["rpn_cls"].shape
+    r = b.reshape("rs", cls, (1, fh, fw, 2, 9))
+    r = b.softmax("sm", r)
+    b.graph.nodes[-1].attrs["axis"] = -2
+    prob = b.reshape("back", r, (1, fh, fw, 18))
+    rois = b.proposal("rois", prob, box, im_info, feat_stride=8,
+                      pre_nms_top_n=64, post_nms_top_n=8, min_size=4)
+    k, cdim = 3, 5
+    score_map = b.conv("score_map", x, k * k * cdim, 1)
+    ps = b.psroi_pooling("ps", score_map, rois, cdim, k, 1.0 / 8)
+    v = b.pool("vote", ps, 0, mode="AVE", global_pooling=True)
+    v = b.softmax("probs", v)
+    g = b.finish([v, rois])
+
+    xv = rng.normal(size=(1, 64, 48, 3)).astype(np.float32)
+    info = np.asarray([[64.0, 48.0, 1.0]], np.float32)
+    res = Engine(g).run({"data": xv, "im_info": info})
+    probs = np.asarray(res["probs"])
+    assert probs.shape == (8, 1, 1, 5)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)

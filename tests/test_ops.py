@@ -449,3 +449,46 @@ def test_proposal_vs_numpy(rng):
     np.testing.assert_allclose(y[:k, 1:], ref, rtol=1e-4, atol=1e-3)
     if k < 20:
         np.testing.assert_array_equal(y[k:], 0.0)
+
+
+def _np_psroipool(x, rois, k, cdim, scale):
+    """Direct numpy port of R-FCN psroi_pooling_layer.cu (float bins)."""
+    H, W, _ = x.shape
+    out = np.zeros((len(rois), k, k, cdim), np.float32)
+    for r, roi in enumerate(rois):
+        sx = round(float(roi[1])) * scale
+        sy = round(float(roi[2])) * scale
+        ex = round(float(roi[3]) + 1.0) * scale
+        ey = round(float(roi[4]) + 1.0) * scale
+        rw = max(ex - sx, 0.1)
+        rh = max(ey - sy, 0.1)
+        for i in range(k):
+            for j in range(k):
+                hs = min(max(int(np.floor(i * rh / k + sy)), 0), H)
+                he = min(max(int(np.ceil((i + 1) * rh / k + sy)), 0), H)
+                ws = min(max(int(np.floor(j * rw / k + sx)), 0), W)
+                we = min(max(int(np.ceil((j + 1) * rw / k + sx)), 0), W)
+                if he > hs and we > ws:
+                    for c in range(cdim):
+                        ch = (c * k + i) * k + j
+                        out[r, i, j, c] = x[hs:he, ws:we, ch].mean()
+    return out
+
+
+def test_psroipooling_vs_numpy(rng):
+    k, cdim = 3, 4
+    x = rng.normal(size=(1, 12, 9, k * k * cdim)).astype(np.float32)
+    rois = np.asarray([
+        [0, 0, 0, 130, 170],
+        [0, 16, 32, 120, 150],
+        [0, 48, 16, 90, 120],
+    ], np.float32)
+    g = Graph("t", {"x": TensorSpec(x.shape),
+                    "rois": TensorSpec(rois.shape)}, ["y"],
+              [Node("n", "PSROIPooling", ["x", "rois"], ["y"],
+                    {"group_size": k, "output_dim": cdim,
+                     "spatial_scale": 1 / 16.0})])
+    y = np.asarray(Engine(g, optimize_graph=False).run(
+        {"x": x, "rois": rois})["y"])
+    ref = _np_psroipool(x[0], rois, k, cdim, 1 / 16.0)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)

@@ -457,6 +457,13 @@ class Converter:
             if p.get("ratio") is not None:
                 attrs["ratios"] = [float(r) for r in _as_list(p["ratio"])]
             op = "Proposal"
+        elif ltype == "PSROIPooling":
+            p = layer.get("psroi_pooling_param", {})
+            attrs = {"output_dim": int(p["output_dim"]),
+                     "group_size": int(p["group_size"]),
+                     "spatial_scale": float(p.get("spatial_scale",
+                                                  1.0 / 16))}
+            op = "PSROIPooling"
         elif ltype == "ROIPooling":
             p = layer.get("roi_pooling_param", {})
             attrs = {"pooled_h": int(p.get("pooled_h", 7)),
