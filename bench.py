@@ -119,21 +119,17 @@ def bench_model(name: str, batch: int, dtype: str, backend: str,
         from feathercnn_tpu.quant import calibrate
         try:
             g_cal = builder(batch=8, **kw)
-        except ValueError:       # batch-1-only models (Faster R-CNN)
+        except ValueError as e:  # batch-1-only models (Faster R-CNN)
+            if "batch 1" not in str(e):
+                raise
             g_cal = builder(batch=batch, **kw)
         rng = np.random.default_rng(1)
         spec0 = next(iter(g_cal.inputs.values()))
         cal0 = rng.normal(size=spec0.shape).astype(np.float32)
         if len(g_cal.inputs) > 1:
-            cal_d = {next(iter(g_cal.inputs)): cal0}
-            for nm, sp in list(g_cal.inputs.items())[1:]:
-                if nm == "im_info":
-                    cal_d[nm] = np.tile(np.asarray(
-                        [[spec0.shape[1], spec0.shape[2], 1.0]],
-                        np.float32), (sp.shape[0], 1))
-                else:
-                    cal_d[nm] = np.zeros(sp.shape, np.float32)
-            cal = [cal_d]
+            from feathercnn_tpu.utils.timing import default_extra_inputs
+            cal = [{next(iter(g_cal.inputs)): cal0,
+                    **default_extra_inputs(g_cal)}]
         else:
             cal = [cal0]
         calibrate(g_cal, cal, method="max",

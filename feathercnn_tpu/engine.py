@@ -171,8 +171,13 @@ class Engine:
             env: Dict[str, jax.Array] = {}
             for name in graph.inputs:
                 x = inputs[name]
-                env[name] = x.astype(cdtype) if jnp.issubdtype(
-                    x.dtype, jnp.floating) else x
+                # Only rank-4 feature maps take the compute dtype;
+                # metadata inputs (im_info's [h, w, scale]) must keep
+                # full precision — bf16 rounds 599 to 600 and corrupts
+                # clip bounds before any lowering can undo it.
+                env[name] = x.astype(cdtype) if (
+                    jnp.issubdtype(x.dtype, jnp.floating)
+                    and x.ndim == 4) else x
             for node in graph.nodes:
                 ins = [env[i] for i in node.inputs]
                 ps = [params[p] for p in node.params]

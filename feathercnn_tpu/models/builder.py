@@ -286,8 +286,9 @@ class GraphBuilder:
         self._channels[out] = self._channels[x]
         return out
 
-    def softmax(self, name: str, x: str) -> str:
-        out = self._add(Node(name, "Softmax", [x], [name]))[0]
+    def softmax(self, name: str, x: str, axis: int = None) -> str:
+        attrs = {} if axis is None else {"axis": axis}
+        out = self._add(Node(name, "Softmax", [x], [name], attrs))[0]
         self._channels[out] = self._channels[x]
         return out
 

@@ -853,6 +853,20 @@ def deeplab_largefov(batch: int = 1, seed: int = 0, num_classes: int = 21,
     return b.finish([x])
 
 
+def _rpn_softmax(b: GraphBuilder, cls_score: str, prefix: str) -> str:
+    """The RPN per-anchor softmax: split Caffe's [bg*A, fg*A] channel
+    halves into a (2, A) axis pair, softmax over the 2, restore the
+    channel layout (the NHWC equivalent of the deploys' NCHW
+    Reshape(0,2,-1,0) + Softmax(axis=1) + Reshape)."""
+    from ..ir import infer_shapes
+    infer_shapes(b.graph)
+    _, fh, fw, c2a = b.graph.specs[cls_score].shape
+    a = c2a // 2
+    r = b.reshape(prefix + "_reshape", cls_score, (1, fh, fw, 2, a))
+    r = b.softmax(prefix + "_prob", r, axis=-2)
+    return b.reshape(prefix + "_prob_reshape", r, (1, fh, fw, 2 * a))
+
+
 def faster_rcnn_vgg16(batch: int = 1, seed: int = 0,
                       num_classes: int = 21, size=(600, 800),
                       pre_nms_top_n: int = 6000,
@@ -884,15 +898,7 @@ def faster_rcnn_vgg16(batch: int = 1, seed: int = 0,
     rpn = b.conv("rpn_conv/3x3", conv5, 512, 3, pad=1, relu=True)
     cls_score = b.conv("rpn_cls_score", rpn, 18, 1)   # [bg*9, fg*9]
     bbox_pred = b.conv("rpn_bbox_pred", rpn, 36, 1)
-    from ..ir import infer_shapes
-    infer_shapes(b.graph)
-    _, fh, fw, _ = b.graph.specs[cls_score].shape
-    # per-anchor softmax: split channels into (2, 9) — rows are Caffe's
-    # bg/fg halves — softmax over the 2, restore the channel layout
-    r = b.reshape("rpn_cls_score_reshape", cls_score, (1, fh, fw, 2, 9))
-    r = b.softmax("rpn_cls_prob", r)
-    b.graph.nodes[-1].attrs["axis"] = -2
-    prob = b.reshape("rpn_cls_prob_reshape", r, (1, fh, fw, 18))
+    prob = _rpn_softmax(b, cls_score, "rpn_cls")
     rois = b.proposal("proposal", prob, bbox_pred, im_info,
                       feat_stride=16, pre_nms_top_n=pre_nms_top_n,
                       post_nms_top_n=post_nms_top_n)
@@ -963,13 +969,7 @@ def rfcn_resnet101(batch: int = 1, seed: int = 0, num_classes: int = 21,
     rpn = b.conv("rpn_conv/3x3", res4, 512, 3, pad=1, relu=True)
     cls_score = b.conv("rpn_cls_score", rpn, 18, 1)
     bbox = b.conv("rpn_bbox_pred", rpn, 36, 1)
-    from ..ir import infer_shapes
-    infer_shapes(b.graph)
-    _, fh, fw, _ = b.graph.specs[cls_score].shape
-    r = b.reshape("rpn_cls_score_reshape", cls_score, (1, fh, fw, 2, 9))
-    r = b.softmax("rpn_cls_prob", r)
-    b.graph.nodes[-1].attrs["axis"] = -2
-    prob = b.reshape("rpn_cls_prob_reshape", r, (1, fh, fw, 18))
+    prob = _rpn_softmax(b, cls_score, "rpn_cls")
     rois = b.proposal("proposal", prob, bbox, im_info, feat_stride=16,
                       post_nms_top_n=post_nms_top_n)
 

@@ -686,10 +686,13 @@ def _lower_roipool(node, inputs, params, ctx):
     _, H, W, C = x.shape
     xf = x[0].astype(jnp.float32)                     # (H, W, C)
     r = rois.astype(jnp.float32)
-    x1 = jnp.round(r[:, 1] * scale)
-    y1 = jnp.round(r[:, 2] * scale)
-    x2 = jnp.round(r[:, 3] * scale)
-    y2 = jnp.round(r[:, 4] * scale)
+    # Caffe uses C round() (half AWAY from zero); jnp.round is
+    # half-to-even and shifts the window one cell at exact .5 coords.
+    # floor(x + 0.5) matches for the non-negative coords ROIs carry.
+    x1 = jnp.floor(r[:, 1] * scale + 0.5)
+    y1 = jnp.floor(r[:, 2] * scale + 0.5)
+    x2 = jnp.floor(r[:, 3] * scale + 0.5)
+    y2 = jnp.floor(r[:, 4] * scale + 0.5)
     rw = jnp.maximum(x2 - x1 + 1.0, 1.0)              # (R,)
     rh = jnp.maximum(y2 - y1 + 1.0, 1.0)
 
@@ -756,20 +759,25 @@ def _lower_psroipool(node, inputs, params, ctx):
     xs = jnp.transpose(xs, (0, 1, 3, 4, 2))           # (H, W, k, k, C)
 
     r = rois.astype(jnp.float32)
-    S_x = jnp.round(r[:, 1]).astype(jnp.int32)        # pixel units
-    S_y = jnp.round(r[:, 2]).astype(jnp.int32)
-    E_x = jnp.round(r[:, 3] + 1.0).astype(jnp.int32)
-    E_y = jnp.round(r[:, 4] + 1.0).astype(jnp.int32)
-    L_x = jnp.maximum(E_x - S_x, 1)                   # degenerate -> 1px
-    L_y = jnp.maximum(E_y - S_y, 1)
+    # half-away-from-zero round (C round()), like ROIPooling above
+    S_x = jnp.floor(r[:, 1] + 0.5).astype(jnp.int32)  # pixel units
+    S_y = jnp.floor(r[:, 2] + 0.5).astype(jnp.int32)
+    E_x = jnp.floor(r[:, 3] + 1.5).astype(jnp.int32)
+    E_y = jnp.floor(r[:, 4] + 1.5).astype(jnp.int32)
+    # Caffe clamps the FEATURE-unit extent to 0.1 = q/10 pixel units;
+    # work in units of 1/(10*q*k) so the clamp stays exact integers.
+    L_x = jnp.maximum(10 * (E_x - S_x), q)            # units 1/(10q)
+    L_y = jnp.maximum(10 * (E_y - S_y), q)
 
     def axis_masks(S, L, size):
-        """(R, k, size) membership: [ (i*L + k*S)//(k*q),
-        ((i+1)*L + k*S + k*q - 1)//(k*q) ), clipped to [0, size)."""
+        """(R, k, size) membership with Caffe's floor/ceil boundaries,
+        exact in units of 1/(10*q*k): lo = (i*L + 10*k*S)//(10*k*q),
+        hi = ceil of the same at i+1; clipped to [0, size)."""
         i = jnp.arange(k, dtype=jnp.int32)
-        lo = (i[None, :] * L[:, None] + k * S[:, None]) // (k * q)
-        hi = ((i[None, :] + 1) * L[:, None] + k * S[:, None]
-              + k * q - 1) // (k * q)
+        lo = (i[None, :] * L[:, None] + 10 * k * S[:, None]) \
+            // (10 * k * q)
+        hi = ((i[None, :] + 1) * L[:, None] + 10 * k * S[:, None]
+              + 10 * k * q - 1) // (10 * k * q)
         lo = jnp.clip(lo, 0, size)
         hi = jnp.clip(hi, 0, size)
         pos = jnp.arange(size, dtype=jnp.int32)

@@ -15,7 +15,28 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-__all__ = ["device_bench", "engine_loop", "slope_time"]
+__all__ = ["default_extra_inputs", "device_bench", "engine_loop", "slope_time"]
+
+
+def default_extra_inputs(graph):
+    """name -> array for every graph input AFTER the first: ``im_info``
+    gets [h, w, 1] rows from the first (image) input's spec, anything
+    else zeros.  Single source for bench.py calibration and the timing
+    loop so calibration data always matches what the loop feeds."""
+    import numpy as np
+
+    names = list(graph.inputs)
+    spec0 = graph.inputs[names[0]]
+    out = {}
+    for nm in names[1:]:
+        sp = graph.inputs[nm]
+        if nm == "im_info" and len(spec0.shape) == 4:
+            out[nm] = np.tile(np.asarray(
+                [[spec0.shape[1], spec0.shape[2], 1.0]], np.float32),
+                (sp.shape[0], 1))
+        else:
+            out[nm] = np.zeros(sp.shape, np.float32)
+    return out
 
 
 def engine_loop(eng, x=None, extras=None):
@@ -43,17 +64,11 @@ def engine_loop(eng, x=None, extras=None):
     if x is None:
         x = np.random.default_rng(0).normal(
             size=spec0.shape).astype(np.float32)
+    defaults = default_extra_inputs(eng.graph)
     fixed = {}
     for nm in names[1:]:
-        sp = eng.graph.inputs[nm]
-        if extras and nm in extras:
-            arr = np.asarray(extras[nm], np.float32)
-        elif nm == "im_info" and len(spec0.shape) == 4:
-            arr = np.tile(np.asarray(
-                [[spec0.shape[1], spec0.shape[2], 1.0]], np.float32),
-                (sp.shape[0], 1))
-        else:
-            arr = np.zeros(sp.shape, np.float32)
+        arr = (np.asarray(extras[nm], np.float32)
+               if extras and nm in extras else defaults[nm])
         fixed[nm] = jax.device_put(jnp.asarray(arr))
 
     @jax.jit

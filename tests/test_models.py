@@ -169,14 +169,8 @@ def test_faster_rcnn_structure_and_mini_forward(rng):
     rpn = b.conv("rpn", x, 16, 3, pad=1, relu=True)
     cls = b.conv("rpn_cls", rpn, 18, 1)
     box = b.conv("rpn_box", rpn, 36, 1)
-    _, fh, fw, _ = b.graph.specs["rpn"].shape if b.graph.specs else (0,)*4
-    from feathercnn_tpu.ir import infer_shapes
-    infer_shapes(b.graph)
-    _, fh, fw, _ = b.graph.specs["rpn_cls"].shape
-    r = b.reshape("cls_rs", cls, (1, fh, fw, 2, 9))
-    r = b.softmax("cls_sm", r)
-    b.graph.nodes[-1].attrs["axis"] = -2
-    prob = b.reshape("cls_back", r, (1, fh, fw, 18))
+    from feathercnn_tpu.models.zoo import _rpn_softmax
+    prob = _rpn_softmax(b, cls, "cls_sm")
     rois = b.proposal("rois", prob, box, im_info, feat_stride=8,
                       pre_nms_top_n=64, post_nms_top_n=16, min_size=4)
     pooled = b.roi_pooling("pool", x, rois, 3, 3, 1.0 / 8)
@@ -221,12 +215,8 @@ def test_rfcn_structure_and_mini_forward(rng):
     rpn = b.conv("rpn", x, 16, 3, pad=1, relu=True)
     cls = b.conv("rpn_cls", rpn, 18, 1)
     box = b.conv("rpn_box", rpn, 36, 1)
-    infer_shapes(b.graph)
-    _, fh, fw, _ = b.graph.specs["rpn_cls"].shape
-    r = b.reshape("rs", cls, (1, fh, fw, 2, 9))
-    r = b.softmax("sm", r)
-    b.graph.nodes[-1].attrs["axis"] = -2
-    prob = b.reshape("back", r, (1, fh, fw, 18))
+    from feathercnn_tpu.models.zoo import _rpn_softmax
+    prob = _rpn_softmax(b, cls, "sm")
     rois = b.proposal("rois", prob, box, im_info, feat_stride=8,
                       pre_nms_top_n=64, post_nms_top_n=8, min_size=4)
     k, cdim = 3, 5

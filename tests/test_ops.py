@@ -346,7 +346,8 @@ def _np_roipool(x, rois, ph, pw, scale):
     H, W, C = x.shape
     out = np.zeros((len(rois), ph, pw, C), np.float32)
     for r, roi in enumerate(rois):
-        x1, y1, x2, y2 = [int(round(v * scale)) for v in roi[1:]]
+        x1, y1, x2, y2 = [int(np.floor(v * scale + 0.5))  # C round()
+                          for v in roi[1:]]
         rw = max(x2 - x1 + 1, 1)
         rh = max(y2 - y1 + 1, 1)
         bh, bw = rh / ph, rw / pw
@@ -368,6 +369,7 @@ def test_roipooling_vs_numpy(rng):
         [0, 32, 16, 128, 96],
         [0, 80, 64, 81, 65],      # tiny -> empty bins
         [0, 0, 48, 159, 223],
+        [0, 8, 24, 104, 120],     # 8/16 = .5: C-round boundary
     ], np.float32)
     g = Graph("t", {"x": TensorSpec(x.shape),
                     "rois": TensorSpec(rois.shape)}, ["y"],
@@ -456,10 +458,10 @@ def _np_psroipool(x, rois, k, cdim, scale):
     H, W, _ = x.shape
     out = np.zeros((len(rois), k, k, cdim), np.float32)
     for r, roi in enumerate(rois):
-        sx = round(float(roi[1])) * scale
-        sy = round(float(roi[2])) * scale
-        ex = round(float(roi[3]) + 1.0) * scale
-        ey = round(float(roi[4]) + 1.0) * scale
+        sx = np.floor(roi[1] + 0.5) * scale   # C round()
+        sy = np.floor(roi[2] + 0.5) * scale
+        ex = np.floor(roi[3] + 1.5) * scale
+        ey = np.floor(roi[4] + 1.5) * scale
         rw = max(ex - sx, 0.1)
         rh = max(ey - sy, 0.1)
         for i in range(k):
@@ -482,6 +484,8 @@ def test_psroipooling_vs_numpy(rng):
         [0, 0, 0, 130, 170],
         [0, 16, 32, 120, 150],
         [0, 48, 16, 90, 120],
+        [0, 40.5, 16, 90, 120],   # .5 coord: C-round boundary
+        [0, 63, 63, 62, 62],      # degenerate: 0.1-feature clamp
     ], np.float32)
     g = Graph("t", {"x": TensorSpec(x.shape),
                     "rois": TensorSpec(rois.shape)}, ["y"],

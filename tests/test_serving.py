@@ -164,14 +164,11 @@ def test_preprocess_native_matches_numpy(rng):
     assert ref8.dtype == np.int8
     if native_available():
         out = preprocess(img, (24, 24), mean, std)
-        # a resize coordinate landing exactly on a texel boundary may
-        # round to the neighboring source pixel in the C++ path
-        # (observed order-dependent: 1/1728 px in full-suite runs) —
-        # allow isolated boundary flips, bound everything else tightly
-        diff = np.abs(out - ref)
-        tol = 1e-5 + 1e-5 * np.abs(ref)
-        assert (diff > tol).mean() < 0.005, diff.max()
-        assert diff.max() < 0.05
+        # the C++ path lerps in f32, the numpy reference in f64:
+        # worst-case divergence is ~1e-5 after the /255 + normalize
+        # (measured 1.06e-5 max on this seed — deterministic, same
+        # source texels; NOT a coordinate flip)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=2e-5)
         out8 = preprocess(img, (24, 24), mean, std, quant_scale=0.02)
         # rounding at the .5 boundary may differ by 1 LSB on a few px
         assert (out8 != ref8).mean() < 0.01
