@@ -34,16 +34,26 @@ import inspect
 builder = MODEL_BUILDERS[model]
 kw = dict(with_softmax=False) if "with_softmax" in \
     inspect.signature(builder).parameters else dict()
-g = builder(batch=int(batch), **kw)
+try:
+    g = builder(batch=int(batch), **kw)
+except ValueError as e:
+    if "batch 1" not in str(e):
+        raise
+    g = builder(**kw)
 x = np.load(xpath)
+inp = {{next(iter(g.inputs)): x}}
+if len(g.inputs) > 1:
+    from feathercnn_tpu.utils.timing import default_extra_inputs
+    inp.update(default_extra_inputs(g))
 if quant == "w8a8":
-    calibrate(g, [x], method="max")
+    calibrate(g, [inp], method="max")
 cfg = EngineConfig(compute_dtype=dtype, backend="pallas", quant=quant,
                    interpret=True, algo_overrides=(("*", "xla"),))
 eng = Engine(g, cfg)
-det = next((n for n in g.nodes if n.op == "DetectionOutput"), None)
+det = next((n for n in g.nodes
+            if n.op in ("DetectionOutput", "Proposal")), None)
 extract = list(det.inputs[:2]) if det is not None else []
-res = eng.run(x, extract=extract)
+res = eng.run(inp, extract=extract)
 np.savez(opath, **dict(
     (k, np.asarray(v, np.float32)) for k, v in res.items()))
 """
@@ -72,7 +82,13 @@ def main():
     builder = MODEL_BUILDERS[args.model]
     kw = {"with_softmax": False} if "with_softmax" in \
         inspect.signature(builder).parameters else {}
-    g = builder(batch=args.batch, **kw)
+    try:
+        g = builder(batch=args.batch, **kw)
+    except ValueError as e:   # batch-1-only two-stage deploys
+        if "batch 1" not in str(e):
+            raise
+        g = builder(**kw)
+        args.batch = 1
     spec = next(iter(g.inputs.values()))
     x = np.random.default_rng(0).normal(size=spec.shape).astype(np.float32)
 
@@ -90,18 +106,39 @@ def main():
                              "JAX_PLATFORMS": "cpu"})
         refs = dict(np.load(op))
 
+    inp = {next(iter(g.inputs)): x}
+    if len(g.inputs) > 1:
+        from feathercnn_tpu.utils.timing import default_extra_inputs
+        inp.update(default_extra_inputs(g))
     if quant == "w8a8":
-        calibrate(g, [x], method="max")
+        calibrate(g, [inp], method="max")
     cfg = EngineConfig(compute_dtype=args.dtype, backend="pallas",
                        quant=quant, algo_overrides=(("*", "xla"),))
     import jax
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     eng = Engine(g, cfg)
-    det = next((n for n in g.nodes if n.op == "DetectionOutput"), None)
+    det = next((n for n in g.nodes
+                if n.op in ("DetectionOutput", "Proposal")), None)
     extract = list(det.inputs[:2]) if det is not None else []
-    res = eng.run(x, extract=extract)
+    res = eng.run(inp, extract=extract)
     out = np.asarray(res[g.outputs[0]], np.float32)
     ref = refs[g.outputs[0]]
+
+    if det is not None and det.op == "Proposal":
+        # Two-stage models: gate on the pre-NMS RPN tensors — beyond
+        # the proposal NMS everything is ROI-order-chaotic under
+        # near-tied random-weight scores (same rationale as SSD).
+        cos_min = 1.0
+        for name in extract:
+            a = np.asarray(res[name], np.float32).ravel()
+            b = refs[name].ravel()
+            c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)
+                               + 1e-12))
+            print(f"  {name}: cosine={c:.6f}", file=sys.stderr)
+            cos_min = min(cos_min, c)
+        print(f"{args.model} {args.quant} b{args.batch}: TPU-vs-CPU "
+              f"rpn cosine={cos_min:.6f}")
+        sys.exit(0 if cos_min >= args.min_cosine else 1)
 
     if det is not None:
         # Gate on the pre-NMS loc/conf tensors: with near-tied scores
