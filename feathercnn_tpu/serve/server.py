@@ -50,7 +50,11 @@ class InferenceServer:
                  batch_timeout_us: int = 2000, max_retries: int = 1,
                  prefer_native_queue: bool = True,
                  transfer_dtype: Optional[str] = "auto",
-                 batch_slots: Optional[list] = None):
+                 batch_slots: Optional[list] = None,
+                 extra_inputs: Optional[Dict[str, np.ndarray]] = None):
+        """``extra_inputs``: fixed per-deployment values for graph
+        inputs beyond the first (e.g. the two-stage detectors'
+        ``im_info`` — one image geometry per serving endpoint)."""
         self.engine = engine
         self.batch_size = batch_size
         self.batch_timeout_us = batch_timeout_us
@@ -94,14 +98,35 @@ class InferenceServer:
             self._transfer_dtype = jnp.dtype(
                 "bfloat16" if transfer_dtype == "auto" else transfer_dtype)
 
-        (in_name,) = engine.graph.inputs
+        names = list(engine.graph.inputs)
+        in_name = names[0]
         self._in_name = in_name
+        self._extra_inputs = {}
+        for nm in names[1:]:
+            if extra_inputs is None or nm not in extra_inputs:
+                raise ValueError(
+                    f"engine has extra graph input {nm!r}: pass a fixed "
+                    "value via InferenceServer(extra_inputs={...})")
+            self._extra_inputs[nm] = np.asarray(extra_inputs[nm],
+                                                np.float32)
         in_spec = engine.graph.inputs[in_name]
         out_name = engine.graph.outputs[0]
         out_shape = engine.graph.specs[out_name].shape
         self._out_name = out_name
         self._item_shape = tuple(in_spec.shape[1:])
-        self._result_shape = tuple(int(d) for d in out_shape[1:])
+        # Detection graphs emit ROI-major outputs ((R, 5) rois,
+        # (R, classes) scores) whose leading dim is NOT the image
+        # batch: serve those whole-output-per-image at batch 1.
+        self._whole_output = out_shape[0] != in_spec.shape[0]
+        if self._whole_output:
+            if in_spec.shape[0] != 1 or batch_size != 1:
+                raise ValueError(
+                    f"output {out_name!r} is not image-batch-major "
+                    f"({out_shape}); serve this engine at batch_size=1")
+            self.batch_slots = [1]
+            self._result_shape = tuple(int(d) for d in out_shape)
+        else:
+            self._result_shape = tuple(int(d) for d in out_shape[1:])
 
         self.queue = make_queue(self._item_shape, np.float32,
                                 self._result_shape, np.float32,
@@ -127,7 +152,7 @@ class InferenceServer:
         for slot in self.batch_slots:
             warm = np.zeros((slot,) + self._item_shape, np.float32)
             warm = self._to_transfer(warm)
-            self.engine.run({self._in_name: warm})
+            self.engine.run({self._in_name: warm, **self._extra_inputs})
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         self._worker.start()
         self._heartbeat = threading.Thread(target=self._heartbeat_loop,
@@ -170,7 +195,10 @@ class InferenceServer:
         else:
             full = batch[:slot]
         full = self._to_transfer(full)
-        out = self.engine.run({self._in_name: full})[self._out_name]
+        out = self.engine.run({self._in_name: full,
+                               **self._extra_inputs})[self._out_name]
+        if self._whole_output:
+            return np.asarray(out, np.float32)[None]
         out = np.asarray(out, np.float32).reshape(slot, -1)
         return out[:batch.shape[0]].reshape(
             (batch.shape[0],) + self._result_shape)

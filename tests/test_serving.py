@@ -294,3 +294,39 @@ def test_http_frontend_end_to_end(rng):
     finally:
         front.stop()
         srv.stop()
+
+
+def test_server_extra_inputs_two_stage(rng):
+    """Serving a multi-input engine (the two-stage detectors' im_info):
+    fixed extra inputs per deployment; missing ones raise at init."""
+    from feathercnn_tpu.models.builder import GraphBuilder
+    from feathercnn_tpu.models.zoo import _rpn_softmax
+
+    b = GraphBuilder("srv2", seed=8)
+    data = b.input("data", (1, 32, 32, 3))
+    im_info = b.input("im_info", (1, 3))
+    x = b.conv("c1", data, 8, 3, stride=2, pad=1, relu=True)
+    cls = b.conv("rpn_cls", x, 18, 1)
+    box = b.conv("rpn_box", x, 36, 1)
+    prob = _rpn_softmax(b, cls, "sm")
+    rois = b.proposal("rois", prob, box, im_info, feat_stride=2,
+                      pre_nms_top_n=32, post_nms_top_n=4, min_size=2)
+    g = b.finish([rois])
+    eng = Engine(g)
+
+    with pytest.raises(ValueError, match="im_info"):
+        InferenceServer(eng, batch_size=1, prefer_native_queue=False)
+
+    info = np.asarray([[32.0, 32.0, 1.0]], np.float32)
+    srv = InferenceServer(eng, batch_size=1, prefer_native_queue=False,
+                          extra_inputs={"im_info": info})
+    srv.start()
+    try:
+        img = rng.normal(size=(32, 32, 3)).astype(np.float32)
+        out = srv.infer(img)
+        assert out is not None and out.shape == (4, 5)
+        ref = np.asarray(eng.run({"data": img[None],
+                                  "im_info": info})["rois"])
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    finally:
+        srv.stop()
