@@ -330,3 +330,43 @@ def test_server_extra_inputs_two_stage(rng):
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
     finally:
         srv.stop()
+
+
+def test_decode_detections_two_stage(rng):
+    """serve.decode_detections (the test.py tail): deltas apply with the
+    +1 convention, boxes clip, per-class NMS keeps the dominant box,
+    background is skipped; class-agnostic (R-FCN) form shares deltas."""
+    from feathercnn_tpu.serve import decode_detections
+
+    rois = np.asarray([[0, 10, 10, 49, 49],
+                       [0, 12, 12, 51, 51],     # overlaps roi 0
+                       [0, 100, 100, 139, 139]], np.float32)
+    C = 3
+    cls_prob = np.asarray([[0.05, 0.9, 0.05],
+                           [0.1, 0.8, 0.1],
+                           [0.1, 0.1, 0.8]], np.float32)
+    bbox_pred = np.zeros((3, 4 * C), np.float32)     # identity deltas
+    dets = decode_detections(cls_prob, bbox_pred, rois, (200, 200),
+                             score_thresh=0.3, nms_thresh=0.3)
+    assert set(dets) == {1, 2}
+    # class 1: the two overlapping rois NMS to one box (the 0.9 one).
+    # Reference asymmetry: bbox_transform_inv with ZERO deltas returns
+    # x2+1/y2+1 (the forward transform uses +1 widths, the inverse
+    # reconstructs cx +- w/2 without subtracting it back).
+    assert dets[1].shape == (1, 5)
+    np.testing.assert_allclose(dets[1][0], [10, 10, 50, 50, 0.9],
+                               atol=1e-5)
+    np.testing.assert_allclose(dets[2][0][:4], [100, 100, 140, 140])
+
+    # nonzero deltas shift the box center: dx=0.25 of width 40 -> +10
+    bp = np.zeros((1, 4 * C), np.float32)
+    bp[0, 4:8] = [0.25, 0.0, 0.0, 0.0]
+    d = decode_detections(cls_prob[:1], bp, rois[:1], (200, 200),
+                          score_thresh=0.3)
+    np.testing.assert_allclose(d[1][0][:4], [20, 10, 60, 50], atol=1e-4)
+
+    # class-agnostic: (R, 8) deltas, fg column applies to every class
+    bp8 = np.zeros((3, 8), np.float32)
+    d = decode_detections(cls_prob, bp8, rois, (200, 200),
+                          score_thresh=0.3, class_agnostic=True)
+    assert set(d) == {1, 2}
