@@ -138,16 +138,19 @@ def _grouped_batch_only(node, ctx, w):
 
 
 def _constrain_batch_only(x, ctx):
-    """Pin a value to batch-only sharding (all-gather the channel axis)."""
-    from jax.sharding import NamedSharding, PartitionSpec
+    """Pin a value's CHANNEL axis to replicated (batch — and, in
+    spatial mode, H — may stay sharded): the grouped-conv workaround
+    only needs channels gathered."""
+    from jax.sharding import NamedSharding
+    from ..parallel.mesh import value_pspec
     mesh = ctx.mesh
     scfg = ctx.config.sharding
-    spec = [None] * x.ndim
-    if (scfg is not None and scfg.shard_batch
-            and x.shape[0] % mesh.shape[scfg.data_axis] == 0):
-        spec[0] = scfg.data_axis
+    if scfg is None:
+        from jax.sharding import PartitionSpec
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec(*([None] * x.ndim))))
     return jax.lax.with_sharding_constraint(
-        x, NamedSharding(mesh, PartitionSpec(*spec)))
+        x, NamedSharding(mesh, value_pspec(scfg, mesh, x.shape)))
 
 
 @register_lowering("Convolution")

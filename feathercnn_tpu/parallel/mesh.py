@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["ShardingConfig", "build_mesh", "param_shardings",
-           "input_shardings", "output_shardings"]
+           "input_shardings", "output_shardings", "value_pspec"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +42,12 @@ class ShardingConfig:
     axis_names: Tuple[str, ...] = ("data", "model")
     shard_weights: bool = True   # channel-TP on conv/FC weights
     shard_batch: bool = True     # DP on the batch dim
+    # Spatial partitioning (the CNN context-parallel analog,
+    # SURVEY.md §2.5): use the model axis to shard activations' H dim
+    # instead of channel-TP — GSPMD inserts the halo exchanges.  For
+    # huge spatial inputs (segmentation/detection at batch 1) where the
+    # batch can't cover the mesh.  Weights replicate in this mode.
+    shard_spatial: bool = False
 
     @property
     def data_axis(self) -> str:
@@ -84,7 +90,7 @@ def param_shardings(graph, mesh: Mesh, cfg: ShardingConfig
         return shard_last[rank]
 
     tp_params = set()
-    if cfg.shard_weights and model_parts > 1:
+    if cfg.shard_weights and model_parts > 1 and not cfg.shard_spatial:
         for n in graph.nodes:
             if n.op not in ("Convolution", "InnerProduct"):
                 continue
@@ -110,32 +116,32 @@ def param_shardings(graph, mesh: Mesh, cfg: ShardingConfig
     return out
 
 
+def value_pspec(cfg: ShardingConfig, mesh: Mesh, shape) -> P:
+    """Activation PartitionSpec for a value of ``shape``: batch over
+    the data axis; in spatial mode, H (rank-4 only) over the model
+    axis — both gated on divisibility."""
+    data_parts = mesh.shape[cfg.data_axis]
+    model_parts = mesh.shape[cfg.model_axis]
+    spec = [None] * len(shape)
+    if (cfg.shard_batch and data_parts > 1 and len(shape) >= 1
+            and _divisible(shape[0], data_parts)):
+        spec[0] = cfg.data_axis
+    if (cfg.shard_spatial and model_parts > 1 and len(shape) == 4
+            and _divisible(shape[1], model_parts)):
+        spec[1] = cfg.model_axis
+    return P(*spec)
+
+
 def input_shardings(graph, mesh: Mesh, cfg: ShardingConfig
                     ) -> Dict[str, NamedSharding]:
-    data_parts = mesh.shape[cfg.data_axis]
-    out = {}
-    for name, spec in graph.inputs.items():
-        if (cfg.shard_batch and data_parts > 1
-                and _divisible(spec.shape[0], data_parts)):
-            pspec = [cfg.data_axis] + [None] * (spec.rank - 1)
-            out[name] = NamedSharding(mesh, P(*pspec))
-        else:
-            out[name] = NamedSharding(mesh, P())
-    return out
+    return {name: NamedSharding(mesh, value_pspec(cfg, mesh, spec.shape))
+            for name, spec in graph.inputs.items()}
 
 
 def output_shardings(graph, mesh: Mesh, cfg: ShardingConfig,
                      names: Sequence[str]) -> Dict[str, NamedSharding]:
-    """Outputs come back batch-sharded (caller gathers per-host shards in
-    the serving layer)."""
-    data_parts = mesh.shape[cfg.data_axis]
-    out = {}
-    for name in names:
-        spec = graph.specs[name]
-        if (cfg.shard_batch and data_parts > 1
-                and _divisible(spec.shape[0], data_parts)):
-            pspec = [cfg.data_axis] + [None] * (spec.rank - 1)
-            out[name] = NamedSharding(mesh, P(*pspec))
-        else:
-            out[name] = NamedSharding(mesh, P())
-    return out
+    """Outputs come back batch-sharded (caller gathers per-host shards
+    in the serving layer); spatially sharded too in spatial mode."""
+    return {name: NamedSharding(
+        mesh, value_pspec(cfg, mesh, graph.specs[name].shape))
+        for name in names}
