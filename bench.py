@@ -56,7 +56,8 @@ def graph_flops(graph) -> float:
 
 # Best batch per model, measured paired on v5e (BASELINE.md table).
 BEST_BATCH = {
-    "squeezenet_v11": 128, "mobilenet_v1": 256, "vgg16": 128,
+    "squeezenet_v11": 128, "squeezenet_v10": 128, "vgg19": 128,
+    "densenet169": 128, "densenet201": 96, "mobilenet_v1": 256, "vgg16": 128,
     "resnet50": 128, "resnet101": 128, "resnet152": 96,
     "googlenet": 256, "densenet121": 128, "resnext50": 128,
     "alexnet": 256,

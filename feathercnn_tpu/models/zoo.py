@@ -12,7 +12,8 @@ from __future__ import annotations
 from ..ir import Graph, Node
 from .builder import GraphBuilder
 
-__all__ = ["squeezenet_v11", "mobilenet_v1", "mobilenet_v2",
+__all__ = ["squeezenet_v11", "squeezenet_v10", "vgg19",
+           "densenet169", "densenet201", "mobilenet_v1", "mobilenet_v2",
            "shufflenet_v1", "shufflenet_v2", "vgg16", "resnet50", "se_resnet50",
            "resnet101", "resnet152", "googlenet", "inception_v3",
            "densenet121",
@@ -53,6 +54,41 @@ def squeezenet_v11(batch: int = 1, seed: int = 0,
     g = b.finish([x])
     # Measured on v5e (BASELINE.md): the requantizing concat edges cost
     # this VPU-bound model ~2.5% — single-scale passthrough only.
+    g.meta["config_overrides"] = {"int8_requant_ops": False}
+    return g
+
+
+def squeezenet_v10(batch: int = 1, seed: int = 0,
+                   with_softmax: bool = True) -> Graph:
+    """SqueezeNet v1.0 (224x224): 7x7/2 stem, pools after conv1 /
+    fire4 / fire8 (the original deploy; v1.1 moved to a 3x3 stem)."""
+    b = GraphBuilder("squeezenet_v10", seed)
+
+    def fire(name, x, s1, e1, e3):
+        sq = b.conv(name + "/squeeze1x1", x, s1, 1, relu=True)
+        ex1 = b.conv(name + "/expand1x1", sq, e1, 1, relu=True)
+        ex3 = b.conv(name + "/expand3x3", sq, e3, 3, pad=1, relu=True)
+        return b.concat(name + "/concat", [ex1, ex3])
+
+    x = b.input("data", (batch, 224, 224, 3))
+    x = b.conv("conv1", x, 96, 7, stride=2, relu=True)
+    x = b.pool("pool1", x, 3, 2)
+    x = fire("fire2", x, 16, 64, 64)
+    x = fire("fire3", x, 16, 64, 64)
+    x = fire("fire4", x, 32, 128, 128)
+    x = b.pool("pool4", x, 3, 2)
+    x = fire("fire5", x, 32, 128, 128)
+    x = fire("fire6", x, 48, 192, 192)
+    x = fire("fire7", x, 48, 192, 192)
+    x = fire("fire8", x, 64, 256, 256)
+    x = b.pool("pool8", x, 3, 2)
+    x = fire("fire9", x, 64, 256, 256)
+    x = b.dropout("drop9", x)
+    x = b.conv("conv10", x, 1000, 1, relu=True)
+    x = b.pool("pool10", x, 0, mode="AVE", global_pooling=True)
+    if with_softmax:
+        x = b.softmax("prob", x)
+    g = b.finish([x])
     g.meta["config_overrides"] = {"int8_requant_ops": False}
     return g
 
@@ -290,13 +326,15 @@ def shufflenet_v2(batch: int = 1, seed: int = 0, width: str = "1.0x",
     return g
 
 
-def vgg16(batch: int = 1, seed: int = 0, with_softmax: bool = True) -> Graph:
-    """VGG-16 (224x224) — the Winograd-path config (BASELINE.json:9):
-    thirteen 3x3 stride-1 convs, exactly WINOGRADF63's selection criterion
+def _vgg(depth: int, batch: int, seed: int, with_softmax: bool) -> Graph:
+    """VGG-16/19 (224x224) — the Winograd-path config (BASELINE.json:9):
+    all-3x3 stride-1 convs, exactly WINOGRADF63's selection criterion
     ([pub] src/booster/arm/booster.cpp)."""
-    b = GraphBuilder("vgg16", seed)
+    b = GraphBuilder(f"vgg{depth}", seed)
     x = b.input("data", (batch, 224, 224, 3))
-    cfg = [(1, 2, 64), (2, 2, 128), (3, 3, 256), (4, 3, 512), (5, 3, 512)]
+    n3 = 3 if depth == 16 else 4
+    cfg = [(1, 2, 64), (2, 2, 128), (3, n3, 256), (4, n3, 512),
+           (5, n3, 512)]
     for stage, n, ch in cfg:
         for i in range(1, n + 1):
             x = b.conv(f"conv{stage}_{i}", x, ch, 3, pad=1, relu=True)
@@ -309,6 +347,16 @@ def vgg16(batch: int = 1, seed: int = 0, with_softmax: bool = True) -> Graph:
     if with_softmax:
         x = b.softmax("prob", x)
     return b.finish([x])
+
+
+def vgg16(batch: int = 1, seed: int = 0, with_softmax: bool = True) -> Graph:
+    """VGG-16 (BASELINE.json:9 config)."""
+    return _vgg(16, batch, seed, with_softmax)
+
+
+def vgg19(batch: int = 1, seed: int = 0, with_softmax: bool = True) -> Graph:
+    """VGG-19 (four-conv stages 3-5)."""
+    return _vgg(19, batch, seed, with_softmax)
 
 
 def _resnet(depth: int, batch: int, seed: int,
@@ -579,7 +627,26 @@ def densenet121(batch: int = 1, seed: int = 0,
     transitions.  Exercises long Concat chains (int8-edge propagation) and
     standalone Scale nodes (pre-activation BN cannot fold into a preceding
     conv across a Concat)."""
-    b = GraphBuilder("densenet121", seed)
+    return _densenet(121, batch, seed, with_softmax)
+
+
+def densenet169(batch: int = 1, seed: int = 0,
+                with_softmax: bool = True) -> Graph:
+    """DenseNet-169 (6/12/32/32 blocks)."""
+    return _densenet(169, batch, seed, with_softmax)
+
+
+def densenet201(batch: int = 1, seed: int = 0,
+                with_softmax: bool = True) -> Graph:
+    """DenseNet-201 (6/12/48/32 blocks)."""
+    return _densenet(201, batch, seed, with_softmax)
+
+
+def _densenet(depth: int, batch: int, seed: int,
+              with_softmax: bool) -> Graph:
+    blocks = {121: (6, 12, 24, 16), 169: (6, 12, 32, 32),
+              201: (6, 12, 48, 32)}[depth]
+    b = GraphBuilder(f"densenet{depth}", seed)
 
     def bn_relu(name, x):
         x = b.bn_scale(name, x)
@@ -596,7 +663,7 @@ def densenet121(batch: int = 1, seed: int = 0,
     x = bn_relu("conv1", x)
     x = b.pool("pool1", x, 3, 2)
     ch = 64
-    for stage, layers in zip((2, 3, 4, 5), (6, 12, 24, 16)):
+    for stage, layers in zip((2, 3, 4, 5), blocks):
         for j in range(1, layers + 1):
             y = dense_layer(f"conv{stage}_{j}", x)
             x = b.concat(f"concat_{stage}_{j}", [x, y])
@@ -1128,11 +1195,13 @@ def vgg16_ssd300(batch: int = 1, seed: int = 0, num_classes: int = 21,
 
 MODEL_BUILDERS = {
     "squeezenet_v11": squeezenet_v11,
+    "squeezenet_v10": squeezenet_v10,
     "mobilenet_v1": mobilenet_v1,
     "mobilenet_v2": mobilenet_v2,
     "shufflenet_v1": shufflenet_v1,
     "shufflenet_v2": shufflenet_v2,
     "vgg16": vgg16,
+    "vgg19": vgg19,
     "resnet50": resnet50,
     "se_resnet50": se_resnet50,
     "resnet101": resnet101,
@@ -1140,6 +1209,8 @@ MODEL_BUILDERS = {
     "googlenet": googlenet,
     "inception_v3": inception_v3,
     "densenet121": densenet121,
+    "densenet169": densenet169,
+    "densenet201": densenet201,
     "resnext50": resnext50,
     "alexnet": alexnet,
     "fcn32s": fcn32s,

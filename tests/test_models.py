@@ -232,3 +232,23 @@ def test_rfcn_structure_and_mini_forward(rng):
     probs = np.asarray(res["probs"])
     assert probs.shape == (8, 1, 1, 5)
     np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_classic_variants_structure(rng):
+    """VGG-19 / DenseNet-169/201 / SqueezeNet-v1.0 parameter variants:
+    block counts and output shapes; a v1.0 forward runs (the 7x7 stem +
+    late-pool fire layout differs structurally from v1.1)."""
+    from feathercnn_tpu.models import MODEL_BUILDERS
+    g = MODEL_BUILDERS["vgg19"](batch=1, with_softmax=False)
+    assert sum(1 for n in g.nodes if n.op == "Convolution") == 16
+    g = MODEL_BUILDERS["densenet169"](batch=1, with_softmax=False)
+    assert sum(1 for n in g.nodes if n.op == "Concat") == 6 + 12 + 32 + 32
+    g = MODEL_BUILDERS["densenet201"](batch=1, with_softmax=False)
+    assert sum(1 for n in g.nodes if n.op == "Concat") == 6 + 12 + 48 + 32
+    assert g.specs[g.outputs[0]].shape == (1, 1000)
+
+    g = MODEL_BUILDERS["squeezenet_v10"]()
+    x = rng.normal(size=(1, 224, 224, 3)).astype(np.float32)
+    out = np.asarray(Engine(g)(x))
+    assert out.shape == (1, 1, 1, 1000)
+    np.testing.assert_allclose(out.sum(), 1.0, rtol=1e-4)
