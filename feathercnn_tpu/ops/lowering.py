@@ -469,36 +469,7 @@ def _lower_detection_output(node, inputs, params, ctx):
         return jnp.stack([cx - w / 2, cy - h / 2,
                           cx + w / 2, cy + h / 2], axis=-1)
 
-    def nms(sc, b):
-        """Exact greedy NMS on all classes at once: candidates arrive
-        top-K sorted descending per class; suppression runs as fixpoint
-        sweeps keep[i] = valid[i] & ~any_{j<i}(keep[j] & iou>thr) over a
-        precomputed (C', K, K) mask — box i's verdict settles within i
-        sweeps, real data converges in ~3-5, so the while_loop replaces
-        K serial steps (1.41 vs 1.95 ms at SSD b128 shapes)."""
-        valid = sc > conf_thresh                # (C', K)
-        area = jnp.maximum(b[..., 2] - b[..., 0], 0) \
-            * jnp.maximum(b[..., 3] - b[..., 1], 0)
-        lt = jnp.maximum(b[..., :, None, :2], b[..., None, :, :2])
-        rb = jnp.minimum(b[..., :, None, 2:], b[..., None, :, 2:])
-        inter = jnp.prod(jnp.maximum(rb - lt, 0), axis=-1)
-        iou = inter / jnp.maximum(
-            area[..., :, None] + area[..., None, :] - inter, 1e-10)
-        smat = (iou > nms_thresh) \
-            & jnp.tril(jnp.ones((K, K), jnp.bool_), -1)  # [i, j]: j < i
-
-        def cond(st):
-            keep, prev, it = st
-            return jnp.any(keep != prev) & (it < K)
-
-        def step(st):
-            keep, _, it = st
-            new = valid & ~jnp.any(smat & keep[..., None, :], axis=-1)
-            return new, keep, it + 1
-
-        keep, _, _ = jax.lax.while_loop(
-            cond, step, (valid, jnp.zeros_like(valid), 0))
-        return keep
+    from ..kernels.nms import greedy_nms_fixpoint
 
     cls = np.asarray([c for c in range(num_classes) if c != bg])
 
@@ -517,7 +488,7 @@ def _lower_detection_output(node, inputs, params, ctx):
         bx = jnp.dot(oh, boxes,
                      precision=jax.lax.Precision.HIGHEST) \
             .reshape(sc.shape + (4,))           # (C', K, 4)
-        keep = nms(sc, bx)
+        keep = greedy_nms_fixpoint(bx, sc > conf_thresh, nms_thresh)
         sc = jnp.where(keep, sc, -1.0)
         lb = jnp.broadcast_to(
             jnp.asarray(cls, jnp.float32)[:, None], sc.shape)
@@ -633,28 +604,9 @@ def _lower_proposal(node, inputs, params, ctx):
     oh = jax.nn.one_hot(idx, boxes.shape[0], dtype=jnp.float32)
     b = jnp.dot(oh, boxes, precision=jax.lax.Precision.HIGHEST)  # (K,4)
 
-    # greedy NMS (+1 area convention), fixpoint sweeps as in
-    # DetectionOutput — box i's verdict settles within i sweeps
-    area = (b[:, 2] - b[:, 0] + 1.0) * (b[:, 3] - b[:, 1] + 1.0)
-    lt = jnp.maximum(b[:, None, :2], b[None, :, :2])
-    rb = jnp.minimum(b[:, None, 2:], b[None, :, 2:])
-    inter = jnp.prod(jnp.maximum(rb - lt + 1.0, 0), axis=-1)
-    iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter,
-                              1e-10)
-    smat = (iou > nms_thresh) & jnp.tril(jnp.ones((K, K), jnp.bool_), -1)
-    valid = top > -jnp.inf
-
-    def cond(st):
-        keep, prev, it = st
-        return jnp.any(keep != prev) & (it < K)
-
-    def step(st):
-        keep, _, it = st
-        new = valid & ~jnp.any(smat & keep[None, :], axis=-1)
-        return new, keep, it + 1
-
-    keep, _, _ = jax.lax.while_loop(
-        cond, step, (valid, jnp.zeros_like(valid), 0))
+    from ..kernels.nms import greedy_nms_fixpoint
+    keep = greedy_nms_fixpoint(b, top > -jnp.inf, nms_thresh,
+                               plus_one=1.0)
 
     sc = jnp.where(keep, top, -jnp.inf)
     R = min(post_n, K)

@@ -271,16 +271,22 @@ def test_reduction_caffe_axes(rng):
     leading order."""
     x = rng.normal(size=(2, 3, 4, 5)).astype(np.float32)  # NHWC
     nchw = np.transpose(x, (0, 3, 1, 2))
+    # atol floors the check: a sum of +-O(1) terms lands near zero
+    # (catastrophic cancellation), where f32 reassociation differences
+    # between compilations dwarf any relative tolerance
     y = _run_single("Reduction", {"axis": 1}, x)           # -> (N,)
-    np.testing.assert_allclose(y, nchw.reshape(2, -1).sum(1), rtol=1e-5)
+    np.testing.assert_allclose(y, nchw.reshape(2, -1).sum(1),
+                               rtol=1e-5, atol=1e-5)
     y = _run_single("Reduction", {"operation": "MEAN", "axis": 2,
                                   "coeff": 2.0}, x)        # -> (N, C)
     np.testing.assert_allclose(
-        y, 2.0 * nchw.mean(axis=(2, 3)), rtol=1e-5)
+        y, 2.0 * nchw.mean(axis=(2, 3)), rtol=1e-5, atol=1e-5)
     y = _run_single("Reduction", {"operation": "ASUM", "axis": 3}, x)
-    np.testing.assert_allclose(y, np.abs(nchw).sum(-1), rtol=1e-5)
+    np.testing.assert_allclose(y, np.abs(nchw).sum(-1), rtol=1e-5,
+                               atol=1e-5)
     y = _run_single("Reduction", {"operation": "SUMSQ", "axis": 0}, x)
-    np.testing.assert_allclose(y, (nchw ** 2).sum(), rtol=1e-5)
+    np.testing.assert_allclose(y, (nchw ** 2).sum(), rtol=1e-5,
+                               atol=1e-5)
 
 
 def test_spp_caffe_semantics(rng):
