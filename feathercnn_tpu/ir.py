@@ -397,11 +397,14 @@ def _proposal_shape(node, in_specs, graph):
     """RPN ProposalLayer (the C++ 'Proposal' layer of the Faster R-CNN
     Caffe forks; semantics of py-faster-rcnn's proposal_layer.py):
     anchors + deltas -> decoded, clipped, NMS'd ROIs.  Static-shape
-    form: always (post_nms_top_n, 5) rows [batch_idx, x1, y1, x2, y2],
-    padded with zero-area boxes (and a second output is NOT emitted —
-    the deploy graphs only consume the rois)."""
+    form: (batch * post_nms_top_n, 5) rows [batch_idx, x1, y1, x2, y2]
+    with batch_idx = image index (-1 on padding rows); per-image NMS
+    vmaps over the batch (the reference layer is batch-1 only).  A
+    second output is NOT emitted — the deploy graphs only consume the
+    rois."""
     n = int(node.attrs.get("post_nms_top_n", 300))
-    return [TensorSpec((n, 5), "float32")]
+    batch = int(in_specs[0].shape[0])
+    return [TensorSpec((batch * n, 5), "float32")]
 
 
 @register_shape_fn("ROIPooling")

@@ -153,6 +153,40 @@ def _constrain_batch_only(x, ctx):
         x, NamedSharding(mesh, value_pspec(scfg, mesh, x.shape)))
 
 
+def _spatial_small_h_fix(node, ctx, x):
+    """True when this conv needs the small-H spatial workaround: under
+    shard_spatial, XLA's SPMD partitioner emits a mistyped pad-value
+    broadcast for a STRIDED int8 conv whose per-shard H is smaller than
+    the stride (``s8[...] broadcast`` of a non-s8 constant — HLO
+    verifier RET_CHECK after spmd-partitioning; reproduced standalone
+    on the virtual mesh: s8 1x1 stride-2 at H=4 over a 4-way model axis
+    fails, f32 at the same shape and s8 at H=8 both pass).  Gathering H
+    for those convs is cheap — they only occur in the deepest, smallest
+    stages."""
+    mesh = getattr(ctx, "mesh", None)
+    scfg = getattr(ctx.config, "sharding", None)
+    if (mesh is None or scfg is None or not scfg.shard_spatial
+            or x.dtype != jnp.int8 or x.ndim != 4):
+        return False
+    stride = max(node.attrs.get("stride_h", node.attrs.get("stride", 1)),
+                 node.attrs.get("stride_w", node.attrs.get("stride", 1)))
+    nshards = mesh.shape[scfg.model_axis]
+    return stride > 1 and nshards > 1 and x.shape[1] < nshards * stride
+
+
+def _constrain_h_replicated(x, ctx):
+    """Gather a value's H axis (keep batch sharded): the small-H
+    spatial workaround only needs rows un-sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    scfg = ctx.config.sharding
+    spec = [None] * x.ndim
+    if (scfg.shard_batch and ctx.mesh.shape[scfg.data_axis] > 1
+            and x.shape[0] % ctx.mesh.shape[scfg.data_axis] == 0):
+        spec[0] = scfg.data_axis
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(ctx.mesh, PartitionSpec(*spec)))
+
+
 @register_lowering("Convolution")
 def _lower_conv(node, inputs, params, ctx):
     x = inputs[0]
@@ -160,6 +194,8 @@ def _lower_conv(node, inputs, params, ctx):
     grouped_fix = _grouped_batch_only(node, ctx, w)
     if grouped_fix:
         x = _constrain_batch_only(x, ctx)
+    elif _spatial_small_h_fix(node, ctx, x):
+        x = _constrain_h_replicated(x, ctx)
     bias = params[1] if node.attrs.get("bias_term", True) and len(params) > 1 else None
     kh, kw, sh, sw, ph, pw, dil, group = _conv_hparams(node)
     act = node.attrs.get("activation")
@@ -561,65 +597,83 @@ def _lower_proposal(node, inputs, params, ctx):
     # im_w (799 is not a bf16 value), breaking the clip bound.
     im_info = im_info.astype(jnp.float32)
     n, fh, fw, c2a = scores.shape
-    if n != 1:
-        raise NotImplementedError(f"{node.name}: Proposal needs batch 1 "
-                                  f"(got {n}), like the reference layer")
-    # channels are Caffe-ordered [bg*A, fg*A]; keep the fg half
-    fg = scores[0, :, :, A:].astype(jnp.float32).reshape(-1)  # (h,w,a)
-    dl = deltas[0].astype(jnp.float32).reshape(-1, 4)
+    # The reference layer is batch-1; batch > 1 vmaps the per-image
+    # pipeline with per-image im_info rows (broadcast when one row is
+    # supplied for the whole batch).
+    if im_info.shape[0] != n:
+        im_info = jnp.broadcast_to(im_info[:1], (n, im_info.shape[-1]))
 
     sx = (np.arange(fw, dtype=np.float32) * feat_stride)
     sy = (np.arange(fh, dtype=np.float32) * feat_stride)
     sxg, syg = np.meshgrid(sx, sy)                    # (fh, fw)
     shifts = np.stack([sxg, syg, sxg, syg], -1)       # (fh, fw, 4)
-    all_anchors = (shifts[:, :, None, :] + anchors).reshape(-1, 4)
-    all_anchors = jnp.asarray(all_anchors)
-
-    # decode (bbox_transform_inv): widths carry the +1 convention
+    all_anchors = jnp.asarray(
+        (shifts[:, :, None, :] + anchors).reshape(-1, 4))
+    # anchor geometry (static): widths carry the +1 convention
     aw = all_anchors[:, 2] - all_anchors[:, 0] + 1.0
     ah = all_anchors[:, 3] - all_anchors[:, 1] + 1.0
     acx = all_anchors[:, 0] + 0.5 * aw
     acy = all_anchors[:, 1] + 0.5 * ah
-    cx = dl[:, 0] * aw + acx
-    cy = dl[:, 1] * ah + acy
-    w = jnp.exp(dl[:, 2]) * aw
-    h = jnp.exp(dl[:, 3]) * ah
-    boxes = jnp.stack([cx - 0.5 * w, cy - 0.5 * h,
-                       cx + 0.5 * w, cy + 0.5 * h], axis=-1)
-    # clip to image (im_info rows are [im_h, im_w, im_scale])
-    im_h, im_w, im_scale = im_info[0, 0], im_info[0, 1], im_info[0, 2]
-    boxes = jnp.stack([
-        jnp.clip(boxes[:, 0], 0, im_w - 1.0),
-        jnp.clip(boxes[:, 1], 0, im_h - 1.0),
-        jnp.clip(boxes[:, 2], 0, im_w - 1.0),
-        jnp.clip(boxes[:, 3], 0, im_h - 1.0)], axis=-1)
-    # min_size filter (scaled to the input image): mask via -inf score
-    ms = min_size * im_scale
-    bw = boxes[:, 2] - boxes[:, 0] + 1.0
-    bh = boxes[:, 3] - boxes[:, 1] + 1.0
-    fg = jnp.where((bw >= ms) & (bh >= ms), fg, -jnp.inf)
-
-    K = min(pre_n, fg.shape[0])
-    top, idx = jax.lax.top_k(fg, K)
-    oh = jax.nn.one_hot(idx, boxes.shape[0], dtype=jnp.float32)
-    b = jnp.dot(oh, boxes, precision=jax.lax.Precision.HIGHEST)  # (K,4)
 
     from ..kernels.nms import greedy_nms_fixpoint
-    keep = greedy_nms_fixpoint(b, top > -jnp.inf, nms_thresh,
-                               plus_one=1.0)
 
-    sc = jnp.where(keep, top, -jnp.inf)
-    R = min(post_n, K)
-    _, ri = jax.lax.top_k(sc, R)
-    oh2 = jax.nn.one_hot(ri, K, dtype=jnp.float32)
-    rb_ = jnp.dot(oh2, b, precision=jax.lax.Precision.HIGHEST)
-    good = jnp.take(keep, ri)
-    rois = jnp.where(good[:, None], rb_, 0.0)
-    if R < post_n:
-        rois = jnp.concatenate(
-            [rois, jnp.zeros((post_n - R, 4), jnp.float32)])
-    return [jnp.concatenate(
-        [jnp.zeros((post_n, 1), jnp.float32), rois], axis=-1)]
+    def per_image(score_hw, delta_hw, info):
+        # channels are Caffe-ordered [bg*A, fg*A]; keep the fg half
+        fg = score_hw[:, :, A:].astype(jnp.float32).reshape(-1)
+        dl = delta_hw.astype(jnp.float32).reshape(-1, 4)
+        # decode (bbox_transform_inv)
+        cx = dl[:, 0] * aw + acx
+        cy = dl[:, 1] * ah + acy
+        w = jnp.exp(dl[:, 2]) * aw
+        h = jnp.exp(dl[:, 3]) * ah
+        boxes = jnp.stack([cx - 0.5 * w, cy - 0.5 * h,
+                           cx + 0.5 * w, cy + 0.5 * h], axis=-1)
+        # clip to image (im_info rows are [im_h, im_w, im_scale])
+        im_h, im_w, im_scale = info[0], info[1], info[2]
+        boxes = jnp.stack([
+            jnp.clip(boxes[:, 0], 0, im_w - 1.0),
+            jnp.clip(boxes[:, 1], 0, im_h - 1.0),
+            jnp.clip(boxes[:, 2], 0, im_w - 1.0),
+            jnp.clip(boxes[:, 3], 0, im_h - 1.0)], axis=-1)
+        # min_size filter (scaled to the input image): -inf score mask
+        ms = min_size * im_scale
+        bw = boxes[:, 2] - boxes[:, 0] + 1.0
+        bh = boxes[:, 3] - boxes[:, 1] + 1.0
+        fg = jnp.where((bw >= ms) & (bh >= ms), fg, -jnp.inf)
+
+        K = min(pre_n, fg.shape[0])
+        top, idx = jax.lax.top_k(fg, K)
+        oh = jax.nn.one_hot(idx, boxes.shape[0], dtype=jnp.float32)
+        b = jnp.dot(oh, boxes,
+                    precision=jax.lax.Precision.HIGHEST)     # (K, 4)
+        keep = greedy_nms_fixpoint(b, top > -jnp.inf, nms_thresh,
+                                   plus_one=1.0)
+        sc = jnp.where(keep, top, -jnp.inf)
+        R = min(post_n, K)
+        _, ri = jax.lax.top_k(sc, R)
+        oh2 = jax.nn.one_hot(ri, K, dtype=jnp.float32)
+        rb_ = jnp.dot(oh2, b, precision=jax.lax.Precision.HIGHEST)
+        good = jnp.take(keep, ri)
+        rois = jnp.where(good[:, None], rb_, 0.0)
+        if R < post_n:
+            rois = jnp.concatenate(
+                [rois, jnp.zeros((post_n - R, 4), jnp.float32)])
+            good = jnp.concatenate(
+                [good, jnp.zeros((post_n - R,), bool)])
+        return rois, good
+
+    rois_b, good_b = jax.vmap(per_image)(scores, deltas, im_info)
+    # Row layout: image-major (N * post_n, 5).  batch_idx = the image
+    # index on real rows, -1 on padding rows (fewer than post_nms_top_n
+    # NMS survivors) so downstream consumers can tell padding from a
+    # real 1-pixel ROI at the origin; the reference emits variable-
+    # length rois instead, static shapes force padding here.  The ROI
+    # heads ignore column 0, and serve.decode_detections drops -1 rows.
+    img_idx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.float32)[:, None], (n, post_n))
+    bidx = jnp.where(good_b, img_idx, -1.0)[..., None]  # (N, post_n, 1)
+    out = jnp.concatenate([bidx, rois_b], axis=-1)
+    return [out.reshape(n * post_n, 5)]
 
 
 @register_lowering("ROIPooling")
@@ -656,7 +710,15 @@ def _lower_roipool(node, inputs, params, ctx):
         boundaries, clipped to [0, size).  Integer arithmetic — the
         rounded ROI coords are integer-valued, and XLA's reciprocal-
         multiply rewrite of f32 division flips exact boundaries
-        (jit ceil(3 * (7/3)) == 8 on CPU, measured)."""
+        (jit ceil(3 * (7/3)) == 8 on CPU, measured).
+
+        Deliberate deviation from Caffe: roi_pooling_layer.cpp computes
+        floor(ph * (float)(roi_h / pooled_h)) in f32, which at exact-tie
+        ratios truncates one cell low (roi_h=7, bins=3, i=3: f32 gives
+        floor(6.9999998) = 6 where exact arithmetic gives 7).  We keep
+        the exact-rational boundary — it is the mathematically intended
+        partition — so a 1-cell bin-boundary difference vs real Caffe
+        outputs is expected at exact ratios."""
         st = start.astype(jnp.int32)
         ln = length.astype(jnp.int32)
         i = jnp.arange(bins, dtype=jnp.int32)

@@ -30,7 +30,7 @@ from typing import Optional
 
 import numpy as np
 
-from .server import InferenceServer
+from .server import InferenceFailed, InferenceServer
 
 __all__ = ["HttpFrontend"]
 
@@ -88,14 +88,29 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(400, (f"bad shape {tuple(img.shape)}, expected "
                              f"{expected}\n").encode(), "text/plain")
             return
-        out = self.frontend.server.infer(img,
-                                         timeout_s=self.frontend.timeout_s)
+        srv = self.frontend.server
+        try:
+            out = srv.infer(img, timeout_s=self.frontend.timeout_s)
+        except InferenceFailed:
+            self._send(500, b"inference failed\n", "text/plain")
+            return
         if out is None:
             self._send(503, b"queue closed or timed out\n", "text/plain")
             return
-        if np.isnan(out).all():
-            # the serve loop fails tickets with NaNs after retries
-            self._send(500, b"inference failed\n", "text/plain")
+        if len(srv._out_names) > 1:
+            # multi-output engines (two-stage detectors): every graph
+            # output goes back — JSON name->nested-lists, or .npz bytes
+            outs = srv.unpack_outputs(out)
+            if as_json:
+                self._send(200, json.dumps(
+                    {"result": {k: np.asarray(v).tolist()
+                                for k, v in outs.items()}}).encode(),
+                    "application/json")
+            else:
+                buf = io.BytesIO()
+                np.savez(buf, **{k: np.asarray(v, np.float32)
+                                 for k, v in outs.items()})
+                self._send(200, buf.getvalue(), "application/x-npz")
             return
         if as_json:
             self._send(200, json.dumps(
@@ -118,7 +133,7 @@ class HttpFrontend:
         self.timeout_s = timeout_s
         # Reject absurd Content-Length before allocating (one malformed
         # client must not OOM the process that owns the chip).  Default:
-        # 4x the f32 item size (covers JSON blow-up) + 1 MB slack.
+        # 8x the f32 item size (covers JSON text blow-up) + 1 MB slack.
         if max_body_bytes is None:
             item = int(np.prod(server._item_shape)) * 4
             max_body_bytes = 8 * item + (1 << 20)

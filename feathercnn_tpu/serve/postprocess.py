@@ -77,6 +77,11 @@ def decode_detections(cls_prob: np.ndarray, bbox_pred: np.ndarray,
     bbox_pred = np.asarray(bbox_pred, np.float32).reshape(
         bbox_pred.shape[0], -1)
     rois = np.asarray(rois, np.float32)
+    # The Proposal lowering pads to post_nms_top_n with batch_idx = -1
+    # rows; drop them before decoding (a padded row would otherwise
+    # score as a real near-origin box).
+    real = rois[:, 0] >= 0
+    cls_prob, bbox_pred, rois = cls_prob[real], bbox_pred[real], rois[real]
     n_classes = cls_prob.shape[1]
     boxes = _bbox_transform_inv(rois[:, 1:5], bbox_pred)
     h, w = im_shape

@@ -31,7 +31,11 @@ import numpy as np
 from ..engine import Engine
 from .batcher import make_queue
 
-__all__ = ["InferenceServer"]
+__all__ = ["InferenceServer", "InferenceFailed"]
+
+
+class InferenceFailed(RuntimeError):
+    """The serve loop exhausted its retries for this request's batch."""
 
 
 def broadcast_plan(n_real: int) -> int:
@@ -110,28 +114,42 @@ class InferenceServer:
             self._extra_inputs[nm] = np.asarray(extra_inputs[nm],
                                                 np.float32)
         in_spec = engine.graph.inputs[in_name]
-        out_name = engine.graph.outputs[0]
-        out_shape = engine.graph.specs[out_name].shape
-        self._out_name = out_name
         self._item_shape = tuple(in_spec.shape[1:])
+        self._out_names = list(engine.graph.outputs)
+        out_shapes = [tuple(int(d) for d in engine.graph.specs[nm].shape)
+                      for nm in self._out_names]
         # Detection graphs emit ROI-major outputs ((R, 5) rois,
         # (R, classes) scores) whose leading dim is NOT the image
         # batch: serve those whole-output-per-image at batch 1.
-        self._whole_output = out_shape[0] != in_spec.shape[0]
+        self._whole_output = any(s[0] != in_spec.shape[0]
+                                 for s in out_shapes)
         if self._whole_output:
             if in_spec.shape[0] != 1 or batch_size != 1:
                 raise ValueError(
-                    f"output {out_name!r} is not image-batch-major "
-                    f"({out_shape}); serve this engine at batch_size=1")
+                    f"outputs {self._out_names} are not image-batch-major "
+                    f"({out_shapes}); serve this engine at batch_size=1")
             self.batch_slots = [1]
-            self._result_shape = tuple(int(d) for d in out_shape)
+            per_req = out_shapes
         else:
-            self._result_shape = tuple(int(d) for d in out_shape[1:])
+            per_req = [s[1:] for s in out_shapes]
+        # Per-request result layout.  One output: its natural shape (the
+        # round-1 contract).  Multiple outputs (two-stage detectors emit
+        # cls_prob/bbox_pred/rois): the queue carries one flat row per
+        # request — the concat of every output flattened — and
+        # ``unpack_outputs`` restores the name->array dict.
+        self._out_specs = list(zip(self._out_names, per_req))
+        if len(self._out_names) == 1:
+            self._result_shape = per_req[0]
+        else:
+            self._result_shape = (
+                int(sum(int(np.prod(s)) for s in per_req)),)
 
         self.queue = make_queue(self._item_shape, np.float32,
                                 self._result_shape, np.float32,
                                 prefer_native=prefer_native_queue)
 
+        self._failed: Dict[int, bool] = {}
+        self._failed_lock = threading.Lock()
         self._stop = threading.Event()
         self._healthy = threading.Event()
         self._healthy.set()
@@ -168,11 +186,43 @@ class InferenceServer:
     # ------------------------------------------------------------------
     def infer(self, image: np.ndarray, timeout_s: float = 30.0
               ) -> Optional[np.ndarray]:
-        """Client call: submit one image, block for its result."""
+        """Client call: submit one image, block for its result.
+
+        Returns None on queue-closed/timeout; raises ``InferenceFailed``
+        if the serve loop exhausted its retries on this request's batch.
+        Multi-output engines return the packed flat row — use
+        ``infer_outputs`` for the name->array dict."""
         ticket = self.queue.submit(image.astype(np.float32))
         if not ticket:
             return None
-        return self.queue.wait_result(ticket, int(timeout_s * 1e6))
+        out = self.queue.wait_result(ticket, int(timeout_s * 1e6))
+        with self._failed_lock:
+            failed = self._failed.pop(ticket, False)
+        if failed:
+            raise InferenceFailed(
+                "inference failed after retries (see /metrics faults)")
+        return out
+
+    def infer_outputs(self, image: np.ndarray, timeout_s: float = 30.0
+                      ) -> Optional[Dict[str, np.ndarray]]:
+        """Like ``infer`` but always returns the full name->array output
+        dict (every graph output, not just the first)."""
+        out = self.infer(image, timeout_s)
+        if out is None:
+            return None
+        return self.unpack_outputs(out)
+
+    def unpack_outputs(self, row: np.ndarray) -> Dict[str, np.ndarray]:
+        """Restore the name->array dict from one result row."""
+        if len(self._out_names) == 1:
+            return {self._out_names[0]: row}
+        flat = np.asarray(row).ravel()
+        out, off = {}, 0
+        for nm, shape in self._out_specs:
+            n = int(np.prod(shape))
+            out[nm] = flat[off:off + n].reshape(shape)
+            off += n
+        return out
 
     # ------------------------------------------------------------------
     def _to_transfer(self, full: np.ndarray) -> np.ndarray:
@@ -183,10 +233,16 @@ class InferenceServer:
             return full.astype(self._transfer_dtype)
         return full
 
+    def select_slot(self, n_real: int) -> int:
+        """Smallest pre-compiled batch slot that fits ``n_real`` (the
+        padding policy: lightly loaded servers run small batches at low
+        latency instead of padding up to the full slot)."""
+        return next((s for s in self.batch_slots if s >= n_real),
+                    self.batch_slots[-1])
+
     def _run_batch(self, batch: np.ndarray) -> np.ndarray:
         n_real = broadcast_plan(batch.shape[0])
-        slot = next((s for s in self.batch_slots if s >= n_real),
-                    self.batch_slots[-1])
+        slot = self.select_slot(n_real)
         if n_real < slot:
             pad = np.zeros((slot - n_real,) + self._item_shape,
                            np.float32)
@@ -195,13 +251,22 @@ class InferenceServer:
         else:
             full = batch[:slot]
         full = self._to_transfer(full)
-        out = self.engine.run({self._in_name: full,
-                               **self._extra_inputs})[self._out_name]
-        if self._whole_output:
-            return np.asarray(out, np.float32)[None]
-        out = np.asarray(out, np.float32).reshape(slot, -1)
-        return out[:batch.shape[0]].reshape(
-            (batch.shape[0],) + self._result_shape)
+        outs = self.engine.run({self._in_name: full,
+                                **self._extra_inputs})
+        if len(self._out_names) == 1:
+            out = outs[self._out_names[0]]
+            if self._whole_output:
+                return np.asarray(out, np.float32)[None]
+            out = np.asarray(out, np.float32).reshape(slot, -1)
+            return out[:batch.shape[0]].reshape(
+                (batch.shape[0],) + self._result_shape)
+        if self._whole_output:                      # one packed row
+            return np.concatenate(
+                [np.asarray(outs[nm], np.float32).ravel()
+                 for nm in self._out_names])[None]
+        parts = [np.asarray(outs[nm], np.float32).reshape(slot, -1)
+                 for nm in self._out_names]
+        return np.concatenate(parts, axis=1)[:batch.shape[0]]
 
     def _serve_loop(self) -> None:
         while not self._stop.is_set():
@@ -222,11 +287,16 @@ class InferenceServer:
                     self.metrics["faults"] += 1
                     self._fault_count += 1
                     if attempt == self.max_retries:
-                        # fail the tickets with NaNs rather than hang callers
-                        nanres = np.full(
-                            (len(tickets),) + self._result_shape, np.nan,
+                        # Mark the tickets failed (the explicit status
+                        # ``infer`` raises on), then post filler results
+                        # so waiters unblock.
+                        with self._failed_lock:
+                            for t in tickets:
+                                self._failed[t] = True
+                        filler = np.zeros(
+                            (len(tickets),) + self._result_shape,
                             np.float32)
-                        self.queue.post_results(tickets, nanres)
+                        self.queue.post_results(tickets, filler)
                     if self._fault_count >= 3:
                         self._healthy.clear()
             self.metrics["batches"] += 1

@@ -452,11 +452,45 @@ def test_proposal_vs_numpy(rng):
     ref = _np_proposal(scores, deltas, im_info[0], generate_anchors(),
                        16, 100, 20, 0.7, 8)
     assert y.shape == (20, 5)
-    np.testing.assert_array_equal(y[:, 0], 0.0)
     k = len(ref)
+    np.testing.assert_array_equal(y[:k, 0], 0.0)
     np.testing.assert_allclose(y[:k, 1:], ref, rtol=1e-4, atol=1e-3)
     if k < 20:
-        np.testing.assert_array_equal(y[k:], 0.0)
+        # padding rows carry the batch_idx = -1 sentinel (ADVICE round 1)
+        np.testing.assert_array_equal(y[k:, 0], -1.0)
+        np.testing.assert_array_equal(y[k:, 1:], 0.0)
+
+
+def test_proposal_batch2_matches_per_image(rng):
+    """Batch>1 Proposal (vmap over images, per-image im_info rows):
+    each image's block of rows equals the batch-1 run of that image,
+    with batch_idx set to the image index (VERDICT round 1 item 7)."""
+    fh, fw, A = 6, 5, 9
+    scores = rng.random(size=(2, fh, fw, 2 * A)).astype(np.float32)
+    deltas = (rng.normal(size=(2, fh, fw, 4 * A)) * 0.3).astype(np.float32)
+    im_info = np.asarray([[96.0, 80.0, 1.0],
+                          [64.0, 72.0, 2.0]], np.float32)
+    attrs = {"feat_stride": 16, "pre_nms_top_n": 100,
+             "post_nms_top_n": 20, "nms_thresh": 0.7, "min_size": 8}
+
+    def run(s, d, i):
+        g = Graph("t", {"s": TensorSpec(s.shape),
+                        "d": TensorSpec(d.shape),
+                        "i": TensorSpec(i.shape)}, ["y"],
+                  [Node("n", "Proposal", ["s", "d", "i"], ["y"], attrs)])
+        return np.asarray(Engine(g, optimize_graph=False).run(
+            {"s": s, "d": d, "i": i})["y"])
+
+    y = run(scores, deltas, im_info)
+    assert y.shape == (40, 5)
+    for b in range(2):
+        yb = run(scores[b:b + 1], deltas[b:b + 1], im_info[b:b + 1])
+        blk = y[b * 20:(b + 1) * 20]
+        np.testing.assert_allclose(blk[:, 1:], yb[:, 1:],
+                                   rtol=1e-5, atol=1e-5)
+        real = yb[:, 0] == 0
+        np.testing.assert_array_equal(blk[real, 0], float(b))
+        np.testing.assert_array_equal(blk[~real, 0], -1.0)
 
 
 def _np_psroipool(x, rois, k, cdim, scale):

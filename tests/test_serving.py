@@ -75,7 +75,12 @@ def test_server_end_to_end(rng):
 
 
 def test_server_fault_isolation(rng, monkeypatch):
-    """A failing batch must NaN-fail its tickets, not hang clients."""
+    """A failing batch must raise InferenceFailed for its tickets (the
+    explicit status, not a NaN sentinel) and must not hang clients."""
+    import pytest
+
+    from feathercnn_tpu.serve.server import InferenceFailed
+
     eng = _tiny_engine()
     srv = InferenceServer(eng, batch_size=4, batch_timeout_us=1000,
                           max_retries=0, prefer_native_queue=False)
@@ -86,9 +91,9 @@ def test_server_fault_isolation(rng, monkeypatch):
     srv._run_batch = boom
     srv.start()
     try:
-        out = srv.infer(rng.normal(size=(8, 8, 3)).astype(np.float32),
-                        timeout_s=30)
-        assert out is not None and np.isnan(out).all()
+        with pytest.raises(InferenceFailed):
+            srv.infer(rng.normal(size=(8, 8, 3)).astype(np.float32),
+                      timeout_s=30)
         assert srv.metrics["faults"] >= 1
     finally:
         srv.stop()
@@ -332,6 +337,62 @@ def test_server_extra_inputs_two_stage(rng):
         srv.stop()
 
 
+def test_server_multi_output(rng):
+    """Multi-output engines (two-stage detectors emit cls_prob/bbox_pred/
+    rois): infer_outputs returns EVERY graph output, and the HTTP
+    front-end answers .npy requests with an .npz archive of all of them
+    (round-1 ADVICE: callers previously got outputs[0] alone)."""
+    import io
+    import urllib.request
+
+    from feathercnn_tpu.models.builder import GraphBuilder
+    from feathercnn_tpu.models.zoo import _rpn_softmax
+    from feathercnn_tpu.serve import HttpFrontend
+
+    b = GraphBuilder("srvmo", seed=9)
+    data = b.input("data", (1, 32, 32, 3))
+    im_info = b.input("im_info", (1, 3))
+    x = b.conv("c1", data, 8, 3, stride=2, pad=1, relu=True)
+    cls = b.conv("rpn_cls", x, 18, 1)
+    box = b.conv("rpn_box", x, 36, 1)
+    prob = _rpn_softmax(b, cls, "sm")
+    rois = b.proposal("rois", prob, box, im_info, feat_stride=2,
+                      pre_nms_top_n=32, post_nms_top_n=4, min_size=2)
+    g = b.finish([rois, prob])          # ROI-major + batch-major mix
+    eng = Engine(g)
+    info = np.asarray([[32.0, 32.0, 1.0]], np.float32)
+    srv = InferenceServer(eng, batch_size=1, prefer_native_queue=False,
+                          extra_inputs={"im_info": info})
+    srv.start()
+    front = HttpFrontend(srv, host="127.0.0.1", port=0)
+    front.start()
+    try:
+        img = rng.normal(size=(32, 32, 3)).astype(np.float32)
+        ref = eng.run({"data": img[None], "im_info": info})
+        outs = srv.infer_outputs(img)
+        assert set(outs) == set(eng.graph.outputs)
+        for nm in eng.graph.outputs:
+            np.testing.assert_allclose(
+                outs[nm], np.asarray(ref[nm], np.float32).reshape(
+                    outs[nm].shape), rtol=1e-5, atol=1e-5)
+
+        buf = io.BytesIO()
+        np.save(buf, img)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{front.port}/infer", data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npy"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "application/x-npz"
+            arch = np.load(io.BytesIO(r.read()))
+        assert set(arch.files) == set(eng.graph.outputs)
+        np.testing.assert_allclose(arch["rois"], outs["rois"],
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        front.stop()
+        srv.stop()
+
+
 def test_decode_detections_two_stage(rng):
     """serve.decode_detections (the test.py tail): deltas apply with the
     +1 convention, boxes clip, per-class NMS keeps the dominant box,
@@ -370,3 +431,66 @@ def test_decode_detections_two_stage(rng):
     d = decode_detections(cls_prob, bp8, rois, (200, 200),
                           score_thresh=0.3, class_agnostic=True)
     assert set(d) == {1, 2}
+
+    # Proposal padding rows (batch_idx = -1) are dropped before decode:
+    # a high-scoring padded row must not emit a near-origin detection
+    rois_p = np.concatenate([rois, [[-1, 0, 0, 0, 0]]]).astype(np.float32)
+    cp = np.concatenate([cls_prob, [[0.0, 0.99, 0.0]]]).astype(np.float32)
+    bpp = np.zeros((4, 4 * C), np.float32)
+    d = decode_detections(cp, bpp, rois_p, (200, 200), score_thresh=0.3,
+                          nms_thresh=0.3)
+    assert not any((row[:4] <= 1.0).all() for c in d for row in d[c])
+
+
+def test_slot_selection_and_padding_policy(rng):
+    """Batching-policy SLO pins (VERDICT round 1 item 9), deterministic
+    and tunnel-independent: slot selection picks the smallest
+    pre-compiled slot that fits; padding counts are exact; a burst of M
+    requests drains in at most ceil(M/slot)+1 device batches (bounds
+    queue-induced latency: no request waits more than that many
+    batches); nothing is dropped."""
+    import math
+
+    eng = _tiny_engine()
+    srv = InferenceServer(eng, batch_size=8, batch_slots=[2, 4],
+                          batch_timeout_us=1000,
+                          prefer_native_queue=False)
+    # slot selection: smallest slot >= n_real; overflow clamps to max
+    assert srv.batch_slots == [2, 4, 8]
+    for n, want in [(1, 2), (2, 2), (3, 4), (4, 4), (5, 8), (8, 8),
+                    (9, 8)]:
+        assert srv.select_slot(n) == want, (n, want)
+
+    # burst drain bound: stub the engine run, count device batches
+    sizes = []
+    real_run = srv._run_batch
+
+    def counting_run(batch):
+        sizes.append(batch.shape[0])
+        return real_run(batch)
+
+    srv._run_batch = counting_run
+    srv.start()
+    try:
+        M = 29
+        imgs = [rng.normal(size=(8, 8, 3)).astype(np.float32)
+                for _ in range(M)]
+        results = [None] * M
+        threads = []
+        for i, im in enumerate(imgs):
+            def call(i=i, im=im):
+                results[i] = srv.infer(im, timeout_s=60)
+            t = threading.Thread(target=call)
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join(timeout=60)
+        assert all(r is not None for r in results), "dropped requests"
+        n_batches = len(sizes)
+        assert n_batches <= math.ceil(M / 8) + 1, (n_batches, sizes)
+        assert sum(sizes) == M
+        # padding metric agrees with the slots actually dispatched
+        padded = sum(srv.select_slot(s) - s for s in sizes)
+        assert srv.metrics["pad_images"] == padded
+    finally:
+        srv.stop()
