@@ -262,3 +262,45 @@ def test_shufflechannel_threshold_conversion(rng):
             perm[j * grp + i] = i * (c // grp) + j
     np.testing.assert_array_equal(y, (x[..., perm] > 0.1)
                                   .astype(np.float32))
+
+
+def test_negative_axis_canonicalizes_vs_bottom_rank(rng):
+    """Caffe canonicalizes negative axes against the BOTTOM blob's rank:
+    Tile/Reduction axis=-1 after an InnerProduct (rank-2 blob) means
+    axis 1, not axis 3 (round-1 ADVICE: the converter hardcoded +4)."""
+    FC = 4
+
+    def blob(arr):
+        arr = np.asarray(arr, np.float32)
+        return {"shape": {"dim": list(arr.shape)}, "data": arr.ravel()}
+
+    wf = rng.normal(size=(FC, 12)).astype(np.float32)
+    deploy = {
+        "name": "negax", "input": ["data"], "input_dim": [1, 3, 2, 2],
+        "layer": [
+            {"name": "fc", "type": "InnerProduct", "bottom": ["data"],
+             "top": ["fc"],
+             "inner_product_param": {"num_output": FC,
+                                     "bias_term": False},
+             "blobs": [blob(wf)]},
+            {"name": "tile", "type": "Tile", "bottom": ["fc"],
+             "top": ["tile"], "tile_param": {"axis": -1, "tiles": 2}},
+            {"name": "red", "type": "Reduction", "bottom": ["tile"],
+             "top": ["red"],
+             "reduction_param": {"operation": 1, "axis": -1}},
+        ]}
+    g = Converter(deploy).convert()
+    tile_node = next(n for n in g.nodes if n.op == "Tile")
+    assert tile_node.attrs["axis"] == 1          # rank-2 bottom: -1 -> 1
+    red_node = next(n for n in g.nodes if n.op == "Reduction")
+    assert red_node.attrs["axis"] == 1
+
+    x_nhwc = rng.normal(size=(1, 2, 2, 3)).astype(np.float32)
+    x_nchw = np.transpose(x_nhwc, (0, 3, 1, 2))
+    ref_fc = x_nchw.reshape(1, -1) @ wf.T        # (1, FC)
+    ref_tile = np.tile(ref_fc, (1, 2))           # (1, 2*FC)
+    out = Engine(g).run({"data": x_nhwc}, extract=["tile"])
+    np.testing.assert_allclose(np.asarray(out["tile"]), ref_tile,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["red"]),
+                               ref_tile.sum(axis=1), rtol=1e-4, atol=1e-5)

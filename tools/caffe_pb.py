@@ -273,6 +273,7 @@ FLATTEN_PARAM = {1: ("axis", "varint"), 2: ("end_axis", "varint")}
 POWER_PARAM = {1: ("power", "float"), 2: ("scale", "float"),
                3: ("shift", "float")}
 INPUT_PARAM = {1: ("shape", ("rep_msg", BLOB_SHAPE))}
+TILE_PARAM = {1: ("axis", "varint"), 2: ("tiles", "varint")}
 ELU_PARAM = {1: ("alpha", "float")}
 CROP_PARAM = {1: ("axis", "varint"), 2: ("offset", "packed_varint")}
 ARGMAX_PARAM = {1: ("out_max_val", "bool"), 2: ("top_k", "varint"),
@@ -328,6 +329,7 @@ LAYER_PARAMETER = {
     131: ("prelu_param", ("msg", PRELU_PARAM)),
     133: ("reshape_param", ("msg", RESHAPE_PARAM)),
     135: ("flatten_param", ("msg", FLATTEN_PARAM)),
+    138: ("tile_param", ("msg", TILE_PARAM)),
     139: ("batch_norm_param", ("msg", BATCH_NORM_PARAM)),
     140: ("elu_param", ("msg", ELU_PARAM)),
     142: ("scale_param", ("msg", SCALE_PARAM)),

@@ -113,6 +113,10 @@ class Converter:
         # _current maps each Caffe blob name to its latest SSA name.
         self._current: Dict[str, str] = {}
         self._ssa_counter = 0
+        # Caffe-rank of each SSA blob: Caffe canonicalizes negative
+        # axes against the actual bottom rank, not a fixed 4 (e.g. Tile
+        # axis=-1 after an InnerProduct means axis 1 of a rank-2 blob).
+        self._rank: Dict[str, int] = {}
 
     # ------------------------------------------------------------------
     def convert(self) -> Graph:
@@ -132,6 +136,7 @@ class Converter:
                 else:
                     nchw = [int(x) for x in _as_list(shapes[i]["dim"])]
                 g.inputs[iname] = TensorSpec(self._nchw_to_nhwc(nchw))
+                self._rank[iname] = len(nchw)
 
         produced = set(g.inputs)
         for layer in _as_list(d.get("layer") or d.get("layers")):
@@ -197,8 +202,12 @@ class Converter:
                 shp = _as_list(p.get("shape"))
                 nchw = [int(x) for x in _as_list(shp[i]["dim"])] if shp else []
                 g.inputs[t] = TensorSpec(self._nchw_to_nhwc(nchw))
+                self._rank[t] = len(nchw)
                 produced.add(t)
             return
+
+        # rank of the first bottom, for negative-axis canonicalization
+        brank = self._rank.get(bottoms[0], 4) if bottoms else 4
 
         if ltype == "Convolution":
             p = layer.get("convolution_param", {})
@@ -413,8 +422,9 @@ class Converter:
                 if ax >= 2 ** 63:  # negative int32 on the proto2 wire
                     ax -= 2 ** 64
                 if ax < 0:
-                    ax += 4
-                attrs["axis"] = {0: 0, 1: -1, 2: 1, 3: 2}.get(ax, -1)
+                    ax += brank
+                attrs["axis"] = ({0: 0, 1: -1, 2: 1, 3: 2}.get(ax, -1)
+                                 if brank == 4 else ax)
             op = "ArgMax"
         elif ltype == "Dropout":
             op = "Dropout"
@@ -487,9 +497,13 @@ class Converter:
         elif ltype == "Tile":
             p = layer.get("tile_param", {})
             axis = _i32(p.get("axis", 1))
-            if axis < 0:       # Caffe canonical-axis semantics
-                axis += 4
-            attrs = {"axis": {0: 0, 1: -1, 2: 1, 3: 2}.get(axis, -1),
+            if axis < 0:       # Caffe canonicalizes vs the bottom rank
+                axis += brank
+            # NCHW->NHWC axis remap applies to 4D bottoms only; lower
+            # ranks pass through untransposed (a rank-2 IP output keeps
+            # its (N, C) layout here)
+            attrs = {"axis": ({0: 0, 1: -1, 2: 1, 3: 2}.get(axis, -1)
+                              if brank == 4 else axis),
                      "tiles": int(p.get("tiles", 1))}
             op = "Tile"
         elif ltype == "Reduction":
@@ -499,7 +513,7 @@ class Converter:
                     "MEAN": "MEAN"}
             ax = _i32(p.get("axis", 0))
             attrs = {"operation": ops_.get(p.get("operation", 1), "SUM"),
-                     "axis": ax + 4 if ax < 0 else ax,
+                     "axis": ax + brank if ax < 0 else ax,
                      "coeff": float(p.get("coeff", 1.0))}
             op = "Reduction"
         elif ltype == "Axpy":
@@ -523,6 +537,22 @@ class Converter:
         g.nodes.append(Node(name=lname, op=op, inputs=bottoms, outputs=tops,
                             attrs=attrs, params=params))
         produced.update(tops)
+        # Track Caffe-rank for downstream negative-axis canonicalization.
+        # Most layers preserve their bottom's rank; the exceptions below
+        # collapse (or fix) it.
+        out_rank = brank
+        if op in ("InnerProduct", "Flatten", "SPP"):
+            out_rank = 2
+        elif op == "Reshape":
+            out_rank = len(attrs.get("shape", ())) or brank
+        elif op in ("ROIPooling", "PSROIPooling"):
+            out_rank = 4
+        elif op == "Proposal":
+            out_rank = 2
+        elif op == "Reduction":
+            out_rank = max(int(attrs.get("axis", 0)), 1)
+        for t in tops:
+            self._rank[t] = out_rank
 
     # ------------------------------------------------------------------
     def _fixup_fc_weights(self) -> None:
