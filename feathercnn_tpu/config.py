@@ -103,6 +103,15 @@ class EngineConfig:
     # SE nets.
     int8_axpy: bool = True
 
+    # Detection heads: blocked/tiled greedy NMS (kernels/nms.py
+    # greedy_nms_blocked) for large candidate sets — streams (1024, K)
+    # IoU strips once instead of sweeping a K x K matrix to fixpoint.
+    # Exact greedy either way; kicks in when K > 2048 (Proposal's
+    # pre_nms_top_n = 6000 qualifies, DetectionOutput's 400 never does).
+    # Off = always the fixpoint form (A/B via batch_sweep --variants
+    # no-nms_blocked).
+    nms_blocked: bool = True
+
     # Persistent compiled-executable cache directory (cuts serving restart
     # latency — SURVEY.md §5 checkpoint/resume).  None disables.
     compilation_cache_dir: Optional[str] = None

@@ -86,6 +86,28 @@ class Engine:
 
     # ------------------------------------------------------------------
     @classmethod
+    def from_optimized(cls, graph: Graph,
+                       config: Optional[EngineConfig] = None) -> "Engine":
+        """Engine over an ALREADY-optimized/quantized graph, running NO
+        passes.
+
+        Bench tooling (bench/ceiling.py) truncates the post-pass graph of
+        a fully built Engine so prefix timings difference exactly against
+        the headline executable; re-running the passes on the truncated
+        copy would re-quantize (a second int8 rewrite corrupts scales) or
+        fuse differently.  Shapes are re-inferred, nothing else changes.
+        """
+        self = object.__new__(cls)
+        self.config = config or EngineConfig()
+        self.graph = copy.deepcopy(graph)
+        infer_shapes(self.graph)
+        self.graph.validate()
+        self._device_params = None
+        self._jitted = {}
+        self._mesh = None
+        return self
+
+    @classmethod
     def from_path(cls, path: str, config: Optional[EngineConfig] = None,
                   prefer_native: bool = True, **kw) -> "Engine":
         """Net::InitFromPath analog: load a .ftpu model and build the

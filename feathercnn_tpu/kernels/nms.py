@@ -19,7 +19,23 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["greedy_nms_fixpoint"]
+__all__ = ["greedy_nms", "greedy_nms_blocked", "greedy_nms_fixpoint"]
+
+
+def greedy_nms(boxes: jnp.ndarray, valid: jnp.ndarray, thresh: float,
+               plus_one: float = 0.0, block: int = 0) -> jnp.ndarray:
+    """Exact greedy NMS; picks the blocked form when it pays.
+
+    The fixpoint form materializes the full K x K IoU matrix and
+    re-sweeps it until convergence — at Proposal scale (K = 6000) that
+    is a ~144 MB HBM tensor touched 3-5x.  The blocked form streams
+    (block x K) strips once, so it wins for large K; for small K the
+    strip setup overhead loses.  ``block = 0`` always uses fixpoint.
+    """
+    k = boxes.shape[-2]
+    if block and k > 2 * block:
+        return greedy_nms_blocked(boxes, valid, thresh, plus_one, block)
+    return greedy_nms_fixpoint(boxes, valid, thresh, plus_one)
 
 
 def greedy_nms_fixpoint(boxes: jnp.ndarray, valid: jnp.ndarray,
@@ -54,3 +70,74 @@ def greedy_nms_fixpoint(boxes: jnp.ndarray, valid: jnp.ndarray,
     keep, _, _ = jax.lax.while_loop(
         cond, step, (valid, jnp.zeros_like(valid), 0))
     return keep
+
+
+def greedy_nms_blocked(boxes: jnp.ndarray, valid: jnp.ndarray,
+                       thresh: float, plus_one: float = 0.0,
+                       block: int = 1024) -> jnp.ndarray:
+    """Blocked/tiled exact greedy NMS (VERDICT round-1 item 7).
+
+    Same greedy semantics and signature as ``greedy_nms_fixpoint``, but
+    instead of a K x K IoU matrix swept to fixpoint, a ``lax.scan`` walks
+    score-order tiles of ``block`` boxes: each tile computes one
+    (block, K) IoU strip against the whole set, drops tile boxes that
+    overlap an already-kept earlier box (those verdicts are settled —
+    greedy is a prefix-causal recurrence), then resolves within-tile
+    order with the triangular fixpoint restricted to (block, block).
+    Peak intermediate is block*K instead of K*K, and each strip is
+    computed exactly once instead of once per sweep.
+    """
+    if boxes.ndim > 2:
+        lead = boxes.shape[:-2]
+        keep = jax.vmap(
+            lambda b, v: greedy_nms_blocked(b, v, thresh, plus_one, block)
+        )(boxes.reshape((-1,) + boxes.shape[-2:]),
+          valid.reshape((-1, boxes.shape[-2])))
+        return keep.reshape(lead + (boxes.shape[-2],))
+
+    k = boxes.shape[0]
+    b = min(block, k)
+    kp = -(-k // b) * b
+    if kp != k:
+        boxes = jnp.concatenate(
+            [boxes, jnp.zeros((kp - k, 4), boxes.dtype)])
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((kp - k,), valid.dtype)])
+    wh = jnp.maximum(boxes[:, 2:] - boxes[:, :2] + plus_one, 0)
+    area = wh[:, 0] * wh[:, 1]
+    col = jnp.arange(kp)
+    tril = jnp.tril(jnp.ones((b, b), jnp.bool_), -1)
+
+    def tile_step(keep, t):
+        s = t * b
+        rows = jax.lax.dynamic_slice(boxes, (s, 0), (b, 4))
+        rarea = jax.lax.dynamic_slice(area, (s,), (b,))
+        rvalid = jax.lax.dynamic_slice(valid, (s,), (b,))
+        lt = jnp.maximum(rows[:, None, :2], boxes[None, :, :2])
+        rb = jnp.minimum(rows[:, None, 2:], boxes[None, :, 2:])
+        inter = jnp.prod(jnp.maximum(rb - lt + plus_one, 0), axis=-1)
+        iou = inter / jnp.maximum(
+            rarea[:, None] + area[None, :] - inter, 1e-10)
+        sup = iou > thresh                              # (b, kp)
+        # settled earlier tiles: any kept box with col < s suppresses
+        alive = rvalid & ~jnp.any(sup & (col[None, :] < s) & keep[None, :],
+                                  axis=-1)
+        # within-tile triangular fixpoint (identical recurrence to
+        # greedy_nms_fixpoint, restricted to this tile)
+        tsup = jax.lax.dynamic_slice(sup, (0, s), (b, b)) & tril
+
+        def cond(st):
+            a, prev, it = st
+            return jnp.any(a != prev) & (it < b)
+
+        def step(st):
+            a, _, it = st
+            return alive & ~jnp.any(tsup & a[None, :], axis=-1), a, it + 1
+
+        a, _, _ = jax.lax.while_loop(
+            cond, step, (alive, jnp.zeros_like(alive), 0))
+        return jax.lax.dynamic_update_slice(keep, a, (s,)), None
+
+    keep, _ = jax.lax.scan(tile_step, jnp.zeros((kp,), bool),
+                           jnp.arange(kp // b))
+    return keep[:k]

@@ -615,7 +615,8 @@ def _lower_proposal(node, inputs, params, ctx):
     acx = all_anchors[:, 0] + 0.5 * aw
     acy = all_anchors[:, 1] + 0.5 * ah
 
-    from ..kernels.nms import greedy_nms_fixpoint
+    from ..kernels.nms import greedy_nms
+    nms_block = 1024 if ctx.config.nms_blocked else 0
 
     def per_image(score_hw, delta_hw, info):
         # channels are Caffe-ordered [bg*A, fg*A]; keep the fg half
@@ -646,8 +647,8 @@ def _lower_proposal(node, inputs, params, ctx):
         oh = jax.nn.one_hot(idx, boxes.shape[0], dtype=jnp.float32)
         b = jnp.dot(oh, boxes,
                     precision=jax.lax.Precision.HIGHEST)     # (K, 4)
-        keep = greedy_nms_fixpoint(b, top > -jnp.inf, nms_thresh,
-                                   plus_one=1.0)
+        keep = greedy_nms(b, top > -jnp.inf, nms_thresh,
+                          plus_one=1.0, block=nms_block)
         sc = jnp.where(keep, top, -jnp.inf)
         R = min(post_n, K)
         _, ri = jax.lax.top_k(sc, R)

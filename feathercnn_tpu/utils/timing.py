@@ -39,7 +39,7 @@ def default_extra_inputs(graph):
     return out
 
 
-def engine_loop(eng, x=None, extras=None):
+def engine_loop(eng, x=None, extras=None, reduce_all=False):
     """Build the canonical whole-model timing loop for an Engine.
 
     Returns ``(loop, params, x_device)`` where ``loop(params, x, n)``
@@ -52,6 +52,11 @@ def engine_loop(eng, x=None, extras=None):
     Multi-input engines: the FIRST graph input is the perturbed tensor;
     the rest come from ``extras`` (name -> array) or default heuristics
     (``im_info`` -> [h, w, 1], else zeros).
+
+    ``reduce_all=True`` sums EVERY graph output into the carry instead of
+    just the first — required when the graph's extra outputs keep interior
+    nodes alive (bench/ceiling.py's truncated prefixes would otherwise be
+    dead-code-eliminated down to the single summed output's cone).
     """
     import numpy as np
 
@@ -84,6 +89,9 @@ def engine_loop(eng, x=None, extras=None):
             # data-independent constant (DetectionOutput's img_id column),
             # which lets XLA dead-code the entire network.  The full-sum
             # reduction is <1 us at any output shape here.
+            if reduce_all:
+                return carry + sum(jnp.sum(v.astype(jnp.float32))
+                                   for v in out.values())
             return carry + jnp.sum(out[first_out].astype(jnp.float32))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 

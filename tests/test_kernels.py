@@ -94,3 +94,86 @@ def test_matmul_no_bias_matches(rng):
     w = rng.normal(size=(K, N)).astype(np.float32)
     y = matmul_epilogue(jnp.asarray(x), jnp.asarray(w), interpret=True)
     np.testing.assert_allclose(np.asarray(y), x @ w, rtol=1e-5, atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# greedy NMS: fixpoint and blocked forms vs the serial-scan oracle
+# ----------------------------------------------------------------------
+
+def _serial_greedy_nms(boxes, valid, thresh, plus_one=0.0):
+    """Direct serial greedy scan (the reference semantics both kernel
+    forms must reproduce exactly)."""
+    def area(b):
+        return max(b[2] - b[0] + plus_one, 0) * max(b[3] - b[1] + plus_one, 0)
+
+    keep = []
+    out = np.zeros(len(boxes), bool)
+    for i, b in enumerate(boxes):
+        if not valid[i]:
+            continue
+        ok = True
+        for j in keep:
+            a = boxes[j]
+            iw = min(a[2], b[2]) - max(a[0], b[0]) + plus_one
+            ih = min(a[3], b[3]) - max(a[1], b[1]) + plus_one
+            inter = max(iw, 0) * max(ih, 0)
+            iou = inter / max(area(a) + area(b) - inter, 1e-10)
+            if iou > thresh:
+                ok = False
+                break
+        if ok:
+            keep.append(i)
+            out[i] = True
+    return out
+
+
+@pytest.mark.parametrize("k,block,plus_one", [
+    (37, 8, 0.0),        # K not a multiple of block
+    (64, 16, 1.0),       # pixel convention
+    (200, 64, 0.0),
+    (200, 512, 0.0),     # block > K: single tile
+])
+def test_greedy_nms_blocked_matches_serial(rng, k, block, plus_one):
+    from feathercnn_tpu.kernels.nms import (greedy_nms_blocked,
+                                            greedy_nms_fixpoint)
+    xy = rng.random((k, 2)).astype(np.float32) * 80
+    wh = rng.random((k, 2)).astype(np.float32) * 40 + 1
+    boxes = np.concatenate([xy, xy + wh], -1)
+    valid = rng.random(k) > 0.1
+    ref = _serial_greedy_nms(boxes, valid, 0.5, plus_one)
+    fx = np.asarray(greedy_nms_fixpoint(jnp.asarray(boxes),
+                                        jnp.asarray(valid), 0.5, plus_one))
+    bl = np.asarray(greedy_nms_blocked(jnp.asarray(boxes),
+                                       jnp.asarray(valid), 0.5, plus_one,
+                                       block=block))
+    np.testing.assert_array_equal(fx, ref)
+    np.testing.assert_array_equal(bl, ref)
+
+
+def test_greedy_nms_blocked_leading_dims(rng):
+    """(C, K, 4) batched form must equal per-slice serial greedy."""
+    from feathercnn_tpu.kernels.nms import greedy_nms_blocked
+    C, K = 3, 50
+    xy = rng.random((C, K, 2)).astype(np.float32) * 60
+    wh = rng.random((C, K, 2)).astype(np.float32) * 30 + 1
+    boxes = np.concatenate([xy, xy + wh], -1)
+    valid = rng.random((C, K)) > 0.2
+    got = np.asarray(greedy_nms_blocked(jnp.asarray(boxes),
+                                        jnp.asarray(valid), 0.4,
+                                        block=16))
+    for c in range(C):
+        np.testing.assert_array_equal(
+            got[c], _serial_greedy_nms(boxes[c], valid[c], 0.4))
+
+
+def test_greedy_nms_dispatch_threshold(rng):
+    """greedy_nms picks blocked only when K > 2*block; both paths agree."""
+    from feathercnn_tpu.kernels import nms as nms_mod
+    k = 100
+    xy = rng.random((k, 2)).astype(np.float32) * 80
+    wh = rng.random((k, 2)).astype(np.float32) * 40 + 1
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    valid = jnp.ones(k, bool)
+    a = np.asarray(nms_mod.greedy_nms(boxes, valid, 0.5, block=0))
+    b = np.asarray(nms_mod.greedy_nms(boxes, valid, 0.5, block=16))
+    np.testing.assert_array_equal(a, b)

@@ -470,7 +470,6 @@ def test_slot_selection_and_padding_policy(rng):
         return real_run(batch)
 
     srv._run_batch = counting_run
-    srv.start()
     try:
         M = 29
         imgs = [rng.normal(size=(8, 8, 3)).astype(np.float32)
@@ -483,6 +482,16 @@ def test_slot_selection_and_padding_policy(rng):
             t = threading.Thread(target=call)
             t.start()
             threads.append(t)
+        # The bound assumes a BURST: all M queued before draining starts.
+        # Under full-suite load the submitter threads trickle in slower
+        # than batch_timeout_us, which legitimately dispatches more,
+        # smaller batches — so start the server only once the queue
+        # actually holds the whole burst.
+        deadline = time.time() + 60
+        while srv.queue.depth() < M and time.time() < deadline:
+            time.sleep(0.001)
+        assert srv.queue.depth() == M
+        srv.start()
         for t in threads:
             t.join(timeout=60)
         assert all(r is not None for r in results), "dropped requests"
