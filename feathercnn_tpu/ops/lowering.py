@@ -479,15 +479,18 @@ def _lower_detection_output(node, inputs, params, ctx):
     nms_thresh = float(a.get("nms_threshold", 0.45))
     nms_top_k = int(a.get("nms_top_k", 400))
     keep_top_k = int(a.get("keep_top_k", 200))
-    if not a.get("share_location", True):
-        raise NotImplementedError(f"{node.name}: share_location=false")
+    share_loc = bool(a.get("share_location", True))
+    # Caffe loc layout (GetLocPredictions): per prior, num_loc_classes
+    # blocks of 4 deltas — 1 block when share_location, else one per
+    # class (each class regresses its own box).
+    num_loc = 1 if share_loc else num_classes
 
     loc, conf, priors = inputs
     n = loc.shape[0]
     pb = jnp.asarray(priors, jnp.float32).reshape(2, -1, 4)
     pbox, pvar = pb[0], pb[1]                   # (P, 4)
     P = pbox.shape[0]
-    loc = loc.reshape(n, P, 4).astype(jnp.float32)
+    loc = loc.reshape(n, P, num_loc, 4).astype(jnp.float32)
     conf = conf.reshape(n, P, num_classes).astype(jnp.float32)
     K = min(nms_top_k, P)
 
@@ -510,7 +513,6 @@ def _lower_detection_output(node, inputs, params, ctx):
     cls = np.asarray([c for c in range(num_classes) if c != bg])
 
     def per_image(loc_i, conf_i):
-        boxes = decode(loc_i)                   # (P, 4), class-shared
         # per-class top-K: approx_max_k's partitioned reduction beats the
         # sort-based lax.top_k ~1.8x on TPU; recall_target=1.0 keeps it
         # exact (scores bit-identical, tie order may differ)
@@ -519,11 +521,19 @@ def _lower_detection_output(node, inputs, params, ctx):
         # gather candidate boxes as a one-hot MXU matmul: 3x faster than
         # the gather engine at these shapes (0.4-1.0 vs 2.9 ms at b128);
         # HIGHEST keeps it exact (1.0 * f32 splits reconstruct exactly)
-        oh = jax.nn.one_hot(idx.reshape(-1), boxes.shape[0],
-                            dtype=jnp.float32)
-        bx = jnp.dot(oh, boxes,
-                     precision=jax.lax.Precision.HIGHEST) \
-            .reshape(sc.shape + (4,))           # (C', K, 4)
+        oh = jax.nn.one_hot(idx, P, dtype=jnp.float32)     # (C', K, P)
+        if share_loc:
+            boxes = decode(loc_i[:, 0])         # (P, 4), class-shared
+            bx = jnp.dot(oh.reshape(-1, P), boxes,
+                         precision=jax.lax.Precision.HIGHEST) \
+                .reshape(sc.shape + (4,))       # (C', K, 4)
+        else:
+            # per-class regressed boxes: decode each class's deltas,
+            # then gather per class (batched one-hot matmul)
+            boxes_c = jax.vmap(decode)(
+                loc_i[:, cls].transpose(1, 0, 2))          # (C', P, 4)
+            bx = jnp.einsum("ckp,cpf->ckf", oh, boxes_c,
+                            precision=jax.lax.Precision.HIGHEST)
         keep = greedy_nms_fixpoint(bx, sc > conf_thresh, nms_thresh)
         sc = jnp.where(keep, sc, -1.0)
         lb = jnp.broadcast_to(

@@ -171,6 +171,50 @@ def test_detection_output_vs_numpy_oracle(rng):
                                        atol=1e-5)
 
 
+def test_detection_output_share_location_false(rng):
+    """share_location=false: every class regresses its own box (Caffe
+    GetLocPredictions parses num_loc_classes=num_classes blocks of 4 per
+    prior).  Oracle: run the shared-loc numpy oracle per class on that
+    class's deltas and merge."""
+    P, C, keep = 30, 4, 20
+    pcx = rng.uniform(0.1, 0.9, P)
+    pcy = rng.uniform(0.1, 0.9, P)
+    pw = rng.uniform(0.05, 0.3, P)
+    ph = rng.uniform(0.05, 0.3, P)
+    priors = np.stack([pcx - pw / 2, pcy - ph / 2,
+                       pcx + pw / 2, pcy + ph / 2], -1).astype(np.float32)
+    variances = np.tile(np.asarray([0.1, 0.1, 0.2, 0.2], np.float32),
+                        (P, 1))
+    loc = rng.normal(scale=0.5, size=(1, P, C, 4)).astype(np.float32)
+    logits = rng.normal(scale=2.0, size=(1, P, C)).astype(np.float32)
+    conf = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    prior_blob = np.stack([priors.reshape(-1),
+                           variances.reshape(-1)])[None]
+    attrs = {"num_classes": C, "share_location": False,
+             "background_label_id": 0, "nms_threshold": 0.45,
+             "nms_top_k": 30, "keep_top_k": keep,
+             "confidence_threshold": 0.05}
+    (y,) = _run("DetectionOutput", attrs,
+                [loc.reshape(1, -1), conf.reshape(1, -1),
+                 prior_blob.astype(np.float32)])
+    # reference: per class c, the shared-loc oracle on loc[:, c] with all
+    # other classes' scores zeroed keeps exactly class c's detections
+    ref = []
+    for c in range(1, C):
+        conf_c = np.zeros_like(conf[0])
+        conf_c[:, c] = conf[0, :, c]
+        ref += _decode_nms_oracle(loc[0, :, c], conf_c, priors, variances,
+                                  C, 0.05, 0.45, 30, keep)
+    ref.sort(key=lambda d: -d[1])
+    ref = ref[:keep]
+    got = y[0][y[0][:, 1] >= 0]
+    assert len(got) == len(ref)
+    for row, (label, score, box) in zip(got, ref):
+        assert row[1] == label
+        np.testing.assert_allclose(row[2], score, rtol=1e-5)
+        np.testing.assert_allclose(row[3:], box, rtol=1e-4, atol=1e-5)
+
+
 def test_detection_output_planted_box():
     """One hot prior per class, zero loc offsets: the output rows must be
     the priors themselves at their softmax scores."""
