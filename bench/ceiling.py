@@ -201,11 +201,23 @@ def main():
         bkw["with_softmax"] = False
     g = builder(batch=args.batch, **bkw)
     if args.quant == "w8a8":
-        g_cal = builder(batch=8, **bkw)
+        try:
+            g_cal = builder(batch=8, **bkw)
+        except ValueError as e:   # batch-1-only models (Faster R-CNN)
+            if "batch 1" not in str(e):
+                raise
+            g_cal = builder(batch=args.batch, **bkw)
         rng = np.random.default_rng(1)
         spec0 = next(iter(g_cal.inputs.values()))
-        calibrate(g_cal, [rng.normal(size=spec0.shape).astype(np.float32)],
-                  method="max", config=EngineConfig(compute_dtype=args.dtype))
+        cal0 = rng.normal(size=spec0.shape).astype(np.float32)
+        if len(g_cal.inputs) > 1:
+            from feathercnn_tpu.utils.timing import default_extra_inputs
+            cal = [{next(iter(g_cal.inputs)): cal0,
+                    **default_extra_inputs(g_cal)}]
+        else:
+            cal = [cal0]
+        calibrate(g_cal, cal, method="max",
+                  config=EngineConfig(compute_dtype=args.dtype))
         g.meta.update({k: g_cal.meta[k]
                        for k in ("act_scales", "value_scales")})
     cfg = EngineConfig(compute_dtype=args.dtype, backend="pallas",
