@@ -112,6 +112,13 @@ class EngineConfig:
     # no-nms_blocked).
     nms_blocked: bool = True
 
+    # ROIPooling via a dyadic range-max pyramid (4 gathered rows per bin)
+    # instead of full-map membership-mask reductions — exact either way
+    # (bin max is a selection); the mask form costs R*bins*H*W*C VPU ops,
+    # the table form O(HWC*logH*logW + R*bins*C).  Off = the mask oracle
+    # (A/B via batch_sweep --variants no-roipool_table).
+    roipool_table: bool = True
+
     # Persistent compiled-executable cache directory (cuts serving restart
     # latency — SURVEY.md §5 checkpoint/resume).  None disables.
     compilation_cache_dir: Optional[str] = None

@@ -704,7 +704,10 @@ def _lower_roipool(node, inputs, params, ctx):
     pw = int(node.attrs["pooled_w"])
     scale = float(node.attrs.get("spatial_scale", 1.0 / 16))
     _, H, W, C = x.shape
-    xf = x[0].astype(jnp.float32)                     # (H, W, C)
+    # dtype-preserving: bin max is a pure selection, so computing on the
+    # engine dtype (bf16 in production) returns bit-identical values to
+    # an f32 upcast while halving the pyramid/gather bytes.
+    xf = x[0]                                         # (H, W, C)
     r = rois.astype(jnp.float32)
     # Caffe uses C round() (half AWAY from zero); jnp.round is
     # half-to-even and shifts the window one cell at exact .5 coords.
@@ -716,11 +719,11 @@ def _lower_roipool(node, inputs, params, ctx):
     rw = jnp.maximum(x2 - x1 + 1.0, 1.0)              # (R,)
     rh = jnp.maximum(y2 - y1 + 1.0, 1.0)
 
-    def axis_masks(start, length, bins, size):
-        """(R, bins, size) membership masks with Caffe's floor/ceil bin
-        boundaries, clipped to [0, size).  Integer arithmetic — the
-        rounded ROI coords are integer-valued, and XLA's reciprocal-
-        multiply rewrite of f32 division flips exact boundaries
+    def axis_bounds(start, length, bins, size):
+        """(R, bins) [lo, hi) bin boundaries with Caffe's floor/ceil
+        split, clipped to [0, size].  Integer arithmetic — the rounded
+        ROI coords are integer-valued, and XLA's reciprocal-multiply
+        rewrite of f32 division flips exact boundaries
         (jit ceil(3 * (7/3)) == 8 on CPU, measured).
 
         Deliberate deviation from Caffe: roi_pooling_layer.cpp computes
@@ -736,13 +739,22 @@ def _lower_roipool(node, inputs, params, ctx):
         lo = (i[None, :] * ln[:, None]) // bins + st[:, None]
         hi = ((i[None, :] + 1) * ln[:, None] + bins - 1) // bins \
             + st[:, None]
-        lo = jnp.clip(lo, 0, size)
-        hi = jnp.clip(hi, 0, size)
-        pos = jnp.arange(size, dtype=jnp.int32)
-        return ((pos >= lo[..., None]) & (pos < hi[..., None]))
+        return jnp.clip(lo, 0, size), jnp.clip(hi, 0, size)
 
-    mh = axis_masks(y1, rh, ph, H)                    # (R, ph, H)
-    mw = axis_masks(x1, rw, pw, W)                    # (R, pw, W)
+    lo_h, hi_h = axis_bounds(y1, rh, ph, H)           # (R, ph)
+    lo_w, hi_w = axis_bounds(x1, rw, pw, W)           # (R, pw)
+
+    if ctx.config.roipool_table:
+        out = _roi_range_max(xf, lo_h, hi_h, lo_w, hi_w)
+        return [out.astype(x.dtype)]
+
+    # membership-mask form (roipool_table=False): select-and-reduce the
+    # full map per (ROI, bin) — R*ph*H*W*C VPU ops, kept as the oracle /
+    # fallback for maps too large to build the dyadic pyramid on.
+    pos_h = jnp.arange(H, dtype=jnp.int32)
+    mh = (pos_h >= lo_h[..., None]) & (pos_h < hi_h[..., None])
+    pos_w = jnp.arange(W, dtype=jnp.int32)
+    mw = (pos_w >= lo_w[..., None]) & (pos_w < hi_w[..., None])
 
     def per_roi(mh_r, mw_r):
         # (ph, H, 1, 1) select -> max over H -> (ph, W, C)
@@ -756,6 +768,61 @@ def _lower_roipool(node, inputs, params, ctx):
     out = jax.vmap(per_roi)(mh, mw)                   # (R, ph, pw, C)
     out = jnp.where(jnp.isfinite(out), out, 0.0)      # empty bins -> 0
     return [out.astype(x.dtype)]
+
+
+def _roi_range_max(x, lo_h, hi_h, lo_w, hi_w):
+    """Exact 2D range-max over [lo_h,hi_h) x [lo_w,hi_w) bins via a
+    dyadic (sparse-table) pyramid: T[lh, lw, y, x] = max over the
+    2^lh x 2^lw block at (y, x).  Each bin is then the max of the 4
+    overlapping dyadic blocks that cover it (exact for max — idempotent),
+    i.e. 4 gathered C-rows per bin instead of a full-map masked
+    reduction: O(HWC log H log W) build + O(R*bins*C) query vs the mask
+    form's O(R*bins*HWC).  Empty bins (hi<=lo after clipping) return 0,
+    matching Caffe's is_empty branch.
+
+    x: (H, W, C); lo/hi: (R, bins) int32 in [0, size].  Returns
+    (R, ph, pw, C) in x.dtype."""
+    H, W, C = x.shape
+    nlh = max(H - 1, 1).bit_length()   # levels 0..nlh-1 cover len<=H
+    nlw = max(W - 1, 1).bit_length()
+
+    rows = [x]
+    for l in range(1, nlh):
+        s = 1 << (l - 1)
+        p = rows[-1]
+        # entries past H-2^l shorten to [y, H) — never queried there
+        rows.append(jnp.maximum(p, p[jnp.minimum(jnp.arange(H) + s,
+                                                 H - 1)]))
+    tabs = []
+    for p0 in rows:
+        cols = [p0]
+        for l in range(1, nlw):
+            s = 1 << (l - 1)
+            p = cols[-1]
+            cols.append(jnp.maximum(p, p[:, jnp.minimum(
+                jnp.arange(W) + s, W - 1)]))
+        tabs.append(jnp.stack(cols))                  # (nlw, H, W, C)
+    table = jnp.stack(tabs).reshape(nlh * nlw * H * W, C)
+
+    len_h = hi_h - lo_h                               # (R, ph)
+    len_w = hi_w - lo_w                               # (R, pw)
+    lh = 31 - jax.lax.clz(jnp.maximum(len_h, 1))      # floor(log2(len))
+    lw = 31 - jax.lax.clz(jnp.maximum(len_w, 1))
+    y0 = jnp.clip(lo_h, 0, H - 1)
+    y1 = jnp.clip(hi_h - jnp.left_shift(1, lh), 0, H - 1)
+    x0 = jnp.clip(lo_w, 0, W - 1)
+    x1 = jnp.clip(hi_w - jnp.left_shift(1, lw), 0, W - 1)
+
+    base = (lh[:, :, None] * nlw + lw[:, None, :]) * H    # (R, ph, pw)
+    ys = jnp.stack([y0, y1], axis=-1)                 # (R, ph, 2)
+    xs = jnp.stack([x0, x1], axis=-1)                 # (R, pw, 2)
+    idx = ((base[..., None, None] + ys[:, :, None, :, None]) * W
+           + xs[:, None, :, None, :])                 # (R, ph, pw, 2, 2)
+    R, ph, pw = idx.shape[:3]
+    g = jnp.take(table, idx.reshape(R, ph, pw, 4), axis=0)
+    out = jnp.max(g, axis=3)                          # (R, ph, pw, C)
+    valid = (len_h[:, :, None] > 0) & (len_w[:, None, :] > 0)
+    return jnp.where(valid[..., None], out, jnp.zeros((), x.dtype))
 
 
 @register_lowering("PSROIPooling")

@@ -388,6 +388,39 @@ def test_roipooling_vs_numpy(rng):
     np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)
 
 
+def test_roipool_table_matches_masks(rng):
+    """The dyadic range-max pyramid path (roipool_table, the production
+    default) must agree bit-for-bit with the membership-mask oracle —
+    both are pure selections over the same bin partitions — including
+    empty bins, off-map ROIs, and degenerate 1-cell ROIs."""
+    from feathercnn_tpu import EngineConfig
+    x = rng.normal(size=(1, 23, 31, 5)).astype(np.float32)
+    rois = np.concatenate([
+        np.asarray([
+            [0, 0, 0, 1000, 1000],    # whole map (clips)
+            [0, 500, 500, 2000, 2000],  # mostly off-map
+            [0, 80, 64, 81, 65],      # 1-2 cell ROI -> empty bins
+            [0, -32, -16, 64, 48],    # negative raw coords
+            [0, 0, 0, 0, 0],          # degenerate single cell
+        ], np.float32),
+        # random ROIs incl. inverted (x2<x1) degenerate ones
+        rng.uniform(-64, 560, size=(40, 5)).astype(np.float32)
+        * np.asarray([0, 1, 1, 1, 1], np.float32),
+    ])
+    for ph, pw in ((7, 7), (3, 4), (1, 1)):
+        g = Graph("t", {"x": TensorSpec(x.shape),
+                        "rois": TensorSpec(rois.shape)}, ["y"],
+                  [Node("n", "ROIPooling", ["x", "rois"], ["y"],
+                        {"pooled_h": ph, "pooled_w": pw,
+                         "spatial_scale": 1 / 16.0})])
+        feed = {"x": x, "rois": rois}
+        y_tab = np.asarray(Engine(g, EngineConfig(roipool_table=True),
+                                  optimize_graph=False).run(feed)["y"])
+        y_msk = np.asarray(Engine(g, EngineConfig(roipool_table=False),
+                                  optimize_graph=False).run(feed)["y"])
+        np.testing.assert_array_equal(y_tab, y_msk)
+
+
 def _np_proposal(scores, deltas, im_info, anchors, feat_stride,
                  pre_n, post_n, thresh, min_size):
     """Direct numpy port of py-faster-rcnn proposal_layer.py."""
