@@ -653,7 +653,11 @@ def _lower_proposal(node, inputs, params, ctx):
         fg = jnp.where((bw >= ms) & (bh >= ms), fg, -jnp.inf)
 
         K = min(pre_n, fg.shape[0])
-        top, idx = jax.lax.top_k(fg, K)
+        # approx_max_k's partitioned reduction beats sort-based top_k
+        # ~1.8x on TPU (same swap as DetectionOutput, ROADMAP.md);
+        # recall_target=1.0 keeps scores exact and descending — only tie
+        # order can differ, which greedy NMS is agnostic to
+        top, idx = jax.lax.approx_max_k(fg, K, recall_target=1.0)
         oh = jax.nn.one_hot(idx, boxes.shape[0], dtype=jnp.float32)
         b = jnp.dot(oh, boxes,
                     precision=jax.lax.Precision.HIGHEST)     # (K, 4)
@@ -661,7 +665,7 @@ def _lower_proposal(node, inputs, params, ctx):
                           plus_one=1.0, block=nms_block)
         sc = jnp.where(keep, top, -jnp.inf)
         R = min(post_n, K)
-        _, ri = jax.lax.top_k(sc, R)
+        _, ri = jax.lax.approx_max_k(sc, R, recall_target=1.0)
         oh2 = jax.nn.one_hot(ri, K, dtype=jnp.float32)
         rb_ = jnp.dot(oh2, b, precision=jax.lax.Precision.HIGHEST)
         good = jnp.take(keep, ri)
