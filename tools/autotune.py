@@ -182,7 +182,7 @@ def tune_regions(graph, dtype: str, quant, iters: int = 15):
 
 
 _TUNABLE_FLAGS = ("merge_siblings", "merge_concats", "int8_grouped",
-                  "int8_requant_ops")
+                  "int8_requant_ops", "nms_blocked", "roipool_table")
 
 
 def tune_flags(graph, dtype: str, quant, rounds: int = 5, iters: int = 20,
@@ -215,8 +215,16 @@ def tune_flags(graph, dtype: str, quant, rounds: int = 5, iters: int = 20,
     defaults = {f.name: f.default for f in dc.fields(EngineConfig)}
     base_cfg = EngineConfig(compute_dtype=dtype, backend="pallas",
                             quant=quant, algo_overrides=(("*", "xla"),))
+    # flags that are structural no-ops on this graph would burn paired
+    # rounds measuring noise — skip them
+    ops = {n.op for n in graph.nodes}
+    relevant = {"nms_blocked": {"Proposal", "DetectionOutput"},
+                "roipool_table": {"ROIPooling"}}
     variants = [("base", base_cfg)]
     for flag in _TUNABLE_FLAGS:
+        need = relevant.get(flag)
+        if need is not None and not (ops & need):
+            continue
         variants.append((flag, base_cfg.replace(
             **{flag: not defaults[flag]})))
 
@@ -238,6 +246,8 @@ def tune_flags(graph, dtype: str, quant, rounds: int = 5, iters: int = 20,
     overrides = {}
     base_t = np.asarray(times["base"])
     for flag in _TUNABLE_FLAGS:
+        if flag not in times:
+            continue
         ratios = base_t / np.asarray(times[flag])  # >1: flipped wins
         gain = float(np.median(ratios)) - 1.0
         flipped = not defaults[flag]
