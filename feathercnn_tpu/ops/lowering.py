@@ -541,7 +541,8 @@ def _lower_detection_output(node, inputs, params, ctx):
         sc = sc.reshape(-1)
         bx = bx.reshape(-1, 4)
         lb = lb.reshape(-1)
-        top, ti = jax.lax.top_k(sc, min(keep_top_k, sc.shape[0]))
+        top, ti = jax.lax.approx_max_k(sc, min(keep_top_k, sc.shape[0]),
+                                       recall_target=1.0)
         pad = keep_top_k - top.shape[0]
         good = top > 0
         row = jnp.concatenate([
