@@ -119,6 +119,15 @@ class EngineConfig:
     # (A/B via batch_sweep --variants no-roipool_table).
     roipool_table: bool = True
 
+    # LRN channel-window sum as a banded matmul on the MXU (sq @ B with
+    # B the 0/1 band of width local_size) instead of a lane-axis
+    # reduce_window.  The window slides along the 128-lane minor axis,
+    # where XLA's reduce_window emits per-shift lane rotations; the MXU
+    # form is one (M, C) x (C, C) dot.  Exact to f32 rounding
+    # (precision=HIGHEST, <=5-term sums of a 0/1 band).  Off = the
+    # reduce_window oracle (A/B via batch_sweep --variants no-lrn_band).
+    lrn_band: bool = True
+
     # Persistent compiled-executable cache directory (cuts serving restart
     # latency — SURVEY.md §5 checkpoint/resume).  None disables.
     compilation_cache_dir: Optional[str] = None

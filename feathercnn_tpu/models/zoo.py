@@ -927,11 +927,11 @@ def _rpn_softmax(b: GraphBuilder, cls_score: str, prefix: str) -> str:
     Reshape(0,2,-1,0) + Softmax(axis=1) + Reshape)."""
     from ..ir import infer_shapes
     infer_shapes(b.graph)
-    _, fh, fw, c2a = b.graph.specs[cls_score].shape
+    n, fh, fw, c2a = b.graph.specs[cls_score].shape
     a = c2a // 2
-    r = b.reshape(prefix + "_reshape", cls_score, (1, fh, fw, 2, a))
+    r = b.reshape(prefix + "_reshape", cls_score, (n, fh, fw, 2, a))
     r = b.softmax(prefix + "_prob", r, axis=-2)
-    return b.reshape(prefix + "_prob_reshape", r, (1, fh, fw, 2 * a))
+    return b.reshape(prefix + "_prob_reshape", r, (n, fh, fw, 2 * a))
 
 
 def faster_rcnn_vgg16(batch: int = 1, seed: int = 0,
@@ -947,12 +947,13 @@ def faster_rcnn_vgg16(batch: int = 1, seed: int = 0,
     `im_info` (1,3)=[im_h, im_w, scale].  Outputs: cls_prob (300,21),
     bbox_pred (300,84), rois (300,5) — final per-class decode is the
     caller's (the reference's test.py does the same host-side)."""
-    if batch != 1:
-        raise ValueError("Faster R-CNN runs batch 1 (reference deploy)")
+    # The reference deploy is batch 1; batch > 1 vmaps the RPN/Proposal
+    # per image and routes image-major (N*post_n, 5) rois through the
+    # batched ROI head (flattened-row-axis gather in ops/lowering.py).
     h, w = size
     b = GraphBuilder("faster_rcnn_vgg16", seed)
-    data = b.input("data", (1, h, w, 3))
-    im_info = b.input("im_info", (1, 3))
+    data = b.input("data", (batch, h, w, 3))
+    im_info = b.input("im_info", (batch, 3))
     x = data
     for stage, n, ch in [(1, 2, 64), (2, 2, 128), (3, 3, 256),
                          (4, 3, 512), (5, 3, 512)]:
@@ -989,12 +990,11 @@ def rfcn_resnet101(batch: int = 1, seed: int = 0, num_classes: int = 21,
     maps rfcn_cls (k^2*C) / rfcn_bbox (k^2*8), PSROIPooling (k=7), and
     per-ROI global AVE vote -> cls_prob / bbox_pred.  Fully on-device
     like the Faster R-CNN zoo model."""
-    if batch != 1:
-        raise ValueError("R-FCN runs batch 1 (reference deploy)")
+    # batch > 1: same image-major batched ROI-head path as Faster R-CNN
     h, w = size
     b = GraphBuilder("rfcn_resnet101", seed)
-    data = b.input("data", (1, h, w, 3))
-    im_info = b.input("im_info", (1, 3))
+    data = b.input("data", (batch, h, w, 3))
+    im_info = b.input("im_info", (batch, 3))
 
     def conv_bn(name, x, ch, kernel, stride=1, pad=0, dilation=1,
                 relu=True):

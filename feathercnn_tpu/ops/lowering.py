@@ -666,10 +666,15 @@ def _lower_proposal(node, inputs, params, ctx):
                           plus_one=1.0, block=nms_block)
         sc = jnp.where(keep, top, -jnp.inf)
         R = min(post_n, K)
-        _, ri = jax.lax.approx_max_k(sc, R, recall_target=1.0)
+        sc_top, ri = jax.lax.approx_max_k(sc, R, recall_target=1.0)
+        # defensive vs TPU ApproxTopK padded-slot index semantics when
+        # fewer than R boxes survive NMS: clip indices into range and
+        # require the gathered score to be finite, so a sentinel index
+        # can never resurrect a suppressed/zero box as a valid ROI
+        ri = jnp.clip(ri, 0, K - 1)
         oh2 = jax.nn.one_hot(ri, K, dtype=jnp.float32)
         rb_ = jnp.dot(oh2, b, precision=jax.lax.Precision.HIGHEST)
-        good = jnp.take(keep, ri)
+        good = jnp.take(keep, ri) & (sc_top > -jnp.inf)
         rois = jnp.where(good[:, None], rb_, 0.0)
         if R < post_n:
             rois = jnp.concatenate(
@@ -701,19 +706,26 @@ def _lower_roipool(node, inputs, params, ctx):
     and W axes, max-reduced against the feature map — static shapes, no
     gathers; XLA fuses the select into the reductions."""
     x, rois = inputs
-    if x.shape[0] != 1:
-        raise NotImplementedError(
-            f"{node.name}: ROIPooling needs batch 1 (the canonical "
-            "Faster R-CNN deploy); rois carry batch_idx 0")
     ph = int(node.attrs["pooled_h"])
     pw = int(node.attrs["pooled_w"])
     scale = float(node.attrs.get("spatial_scale", 1.0 / 16))
-    _, H, W, C = x.shape
+    N, H, W, C = x.shape
     # dtype-preserving: bin max is a pure selection, so computing on the
     # engine dtype (bf16 in production) returns bit-identical values to
     # an f32 upcast while halving the pyramid/gather bytes.
-    xf = x[0]                                         # (H, W, C)
+    #
+    # batch > 1: flatten (N, H, W, C) -> (N*H, W, C) and offset each
+    # ROI's row bounds by batch_idx*H (rois column 0; Proposal emits
+    # image-major rows with batch_idx = image index, -1 on padding).
+    # Queried [lo, hi) ranges stay inside one image by construction, so
+    # both the dyadic table and the mask form work unchanged on the
+    # flattened axis; pyramid entries whose blocks spill across an image
+    # boundary are never queried (same argument as the existing
+    # shortened-tail entries).
+    xf = x.reshape(N * H, W, C)
     r = rois.astype(jnp.float32)
+    bidx = jnp.clip(r[:, 0].astype(jnp.int32), 0, N - 1)  # (R,)
+    pad_roi = r[:, 0] < 0                             # Proposal padding
     # Caffe uses C round() (half AWAY from zero); jnp.round is
     # half-to-even and shifts the window one cell at exact .5 coords.
     # floor(x + 0.5) matches for the non-negative coords ROIs carry.
@@ -748,15 +760,21 @@ def _lower_roipool(node, inputs, params, ctx):
 
     lo_h, hi_h = axis_bounds(y1, rh, ph, H)           # (R, ph)
     lo_w, hi_w = axis_bounds(x1, rw, pw, W)           # (R, pw)
+    # per-image clipping done; shift into the flattened N*H row axis.
+    # Padding ROIs (batch_idx < 0) collapse to an empty range so every
+    # bin returns 0 on both paths.
+    off = bidx * H                                    # (R,)
+    lo_h = jnp.where(pad_roi[:, None], 0, lo_h + off[:, None])
+    hi_h = jnp.where(pad_roi[:, None], 0, hi_h + off[:, None])
 
     if ctx.config.roipool_table:
-        out = _roi_range_max(xf, lo_h, hi_h, lo_w, hi_w)
+        out = _roi_range_max(xf, lo_h, hi_h, lo_w, hi_w, max_len_h=H)
         return [out.astype(x.dtype)]
 
     # membership-mask form (roipool_table=False): select-and-reduce the
     # full map per (ROI, bin) — R*ph*H*W*C VPU ops, kept as the oracle /
     # fallback for maps too large to build the dyadic pyramid on.
-    pos_h = jnp.arange(H, dtype=jnp.int32)
+    pos_h = jnp.arange(N * H, dtype=jnp.int32)
     mh = (pos_h >= lo_h[..., None]) & (pos_h < hi_h[..., None])
     pos_w = jnp.arange(W, dtype=jnp.int32)
     mw = (pos_w >= lo_w[..., None]) & (pos_w < hi_w[..., None])
@@ -775,7 +793,7 @@ def _lower_roipool(node, inputs, params, ctx):
     return [out.astype(x.dtype)]
 
 
-def _roi_range_max(x, lo_h, hi_h, lo_w, hi_w):
+def _roi_range_max(x, lo_h, hi_h, lo_w, hi_w, max_len_h=None):
     """Exact 2D range-max over [lo_h,hi_h) x [lo_w,hi_w) bins via a
     dyadic (sparse-table) pyramid: T[lh, lw, y, x] = max over the
     2^lh x 2^lw block at (y, x).  Each bin is then the max of the 4
@@ -786,10 +804,16 @@ def _roi_range_max(x, lo_h, hi_h, lo_w, hi_w):
     matching Caffe's is_empty branch.
 
     x: (H, W, C); lo/hi: (R, bins) int32 in [0, size].  Returns
-    (R, ph, pw, C) in x.dtype."""
+    (R, ph, pw, C) in x.dtype.
+
+    max_len_h caps the H-axis levels when the row axis is a flattened
+    N*H batch (batched ROIPooling): queried ranges never exceed one
+    image's H, so levels past (H-1).bit_length() would be pure build
+    waste.  Entries whose block spills across an image boundary are
+    never queried (ranges live inside one image by construction)."""
     H, W, C = x.shape
-    nlh = max(H - 1, 1).bit_length()   # levels 0..nlh-1 cover len<=H
-    nlw = max(W - 1, 1).bit_length()
+    nlh = max((max_len_h or H) - 1, 1).bit_length()
+    nlw = max(W - 1, 1).bit_length()   # levels 0..nl-1 cover len<=size
 
     rows = [x]
     for l in range(1, nlh):
@@ -811,8 +835,13 @@ def _roi_range_max(x, lo_h, hi_h, lo_w, hi_w):
 
     len_h = hi_h - lo_h                               # (R, ph)
     len_w = hi_w - lo_w                               # (R, pw)
-    lh = 31 - jax.lax.clz(jnp.maximum(len_h, 1))      # floor(log2(len))
-    lw = 31 - jax.lax.clz(jnp.maximum(len_w, 1))
+    # floor(log2(len)), clamped to the top level actually built: when
+    # len == size == 2^m the unclamped value is m == nlh, one past the
+    # table (jnp.take's fill mode then returns NaN).  Two half-size
+    # blocks [lo, lo+2^lh) and [hi-2^lh, hi) still exactly cover any
+    # len <= 2^(lh+1) = size, because max is idempotent.
+    lh = jnp.minimum(31 - jax.lax.clz(jnp.maximum(len_h, 1)), nlh - 1)
+    lw = jnp.minimum(31 - jax.lax.clz(jnp.maximum(len_w, 1)), nlw - 1)
     y0 = jnp.clip(lo_h, 0, H - 1)
     y1 = jnp.clip(hi_h - jnp.left_shift(1, lh), 0, H - 1)
     x0 = jnp.clip(lo_w, 0, W - 1)
@@ -844,8 +873,6 @@ def _lower_psroipool(node, inputs, params, ctx):
     floor(i*bin + start) = (i*(E-S) + k*S) // (k*q) — float floor/ceil
     flips under XLA's reciprocal-multiply division rewrite."""
     x, rois = inputs
-    if x.shape[0] != 1:
-        raise NotImplementedError(f"{node.name}: batch 1 only")
     k = int(node.attrs["group_size"])
     cdim = int(node.attrs["output_dim"])
     scale = float(node.attrs.get("spatial_scale", 1.0 / 16))
@@ -853,12 +880,17 @@ def _lower_psroipool(node, inputs, params, ctx):
     if abs(1.0 / scale - q) > 1e-4:
         raise NotImplementedError(
             f"{node.name}: spatial_scale {scale} is not 1/int")
-    _, H, W, _ = x.shape
-    # channel layout (Caffe): idx = (c*k + gh)*k + gw -> (H, W, C, k, k)
-    xs = x[0].astype(jnp.float32).reshape(H, W, cdim, k, k)
-    xs = jnp.transpose(xs, (0, 1, 3, 4, 2))           # (H, W, k, k, C)
+    N, H, W, _ = x.shape
+    # channel layout (Caffe): idx = (c*k + gh)*k + gw -> (H, W, C, k, k).
+    # batch > 1 rides the same flattened-row-axis trick as ROIPooling:
+    # (N, H, ...) -> (N*H, ...) with each ROI's H-axis mask offset by
+    # batch_idx*H — the einsum below is agnostic to where the rows live.
+    xs = x.astype(jnp.float32).reshape(N * H, W, cdim, k, k)
+    xs = jnp.transpose(xs, (0, 1, 3, 4, 2))           # (N*H, W, k, k, C)
 
     r = rois.astype(jnp.float32)
+    bidx = jnp.clip(r[:, 0].astype(jnp.int32), 0, N - 1)
+    pad_roi = r[:, 0] < 0
     # half-away-from-zero round (C round()), like ROIPooling above
     S_x = jnp.floor(r[:, 1] + 0.5).astype(jnp.int32)  # pixel units
     S_y = jnp.floor(r[:, 2] + 0.5).astype(jnp.int32)
@@ -869,10 +901,12 @@ def _lower_psroipool(node, inputs, params, ctx):
     L_x = jnp.maximum(10 * (E_x - S_x), q)            # units 1/(10q)
     L_y = jnp.maximum(10 * (E_y - S_y), q)
 
-    def axis_masks(S, L, size):
-        """(R, k, size) membership with Caffe's floor/ceil boundaries,
-        exact in units of 1/(10*q*k): lo = (i*L + 10*k*S)//(10*k*q),
-        hi = ceil of the same at i+1; clipped to [0, size)."""
+    def axis_masks(S, L, size, offset=None, flat_size=None):
+        """(R, k, flat_size or size) membership with Caffe's floor/ceil
+        boundaries, exact in units of 1/(10*q*k): lo = (i*L + 10*k*S)
+        // (10*k*q), hi = ceil of the same at i+1; clipped to [0, size)
+        per-image, then shifted by `offset` rows into the flattened
+        batch axis."""
         i = jnp.arange(k, dtype=jnp.int32)
         lo = (i[None, :] * L[:, None] + 10 * k * S[:, None]) \
             // (10 * k * q)
@@ -880,11 +914,15 @@ def _lower_psroipool(node, inputs, params, ctx):
               + 10 * k * q - 1) // (10 * k * q)
         lo = jnp.clip(lo, 0, size)
         hi = jnp.clip(hi, 0, size)
-        pos = jnp.arange(size, dtype=jnp.int32)
+        if offset is not None:
+            lo = jnp.where(pad_roi[:, None], 0, lo + offset[:, None])
+            hi = jnp.where(pad_roi[:, None], 0, hi + offset[:, None])
+        pos = jnp.arange(flat_size or size, dtype=jnp.int32)
         m = (pos >= lo[..., None]) & (pos < hi[..., None])
         return m.astype(jnp.float32)
 
-    mh = axis_masks(S_y, L_y, H)                      # (R, k, H)
+    mh = axis_masks(S_y, L_y, H, offset=bidx * H,
+                    flat_size=N * H)                  # (R, k, N*H)
     mw = axis_masks(S_x, L_x, W)                      # (R, k, W)
     ssum = jnp.einsum("rih,rjw,hwijc->rijc", mh, mw, xs,
                       precision=jax.lax.Precision.HIGHEST)
@@ -965,6 +1003,30 @@ def _lower_fc(node, inputs, params, ctx):
         return [kdispatch.fc_forward(node, x, w, bias, ctx)]
 
     x, w = _dequant_for_oracle(x, w, ctx.qinfo(node), ctx)
+    mesh = getattr(ctx, "mesh", None)
+    scfg = getattr(ctx.config, "sharding", None)
+    if (mesh is not None and scfg is not None
+            and getattr(scfg, "ring_overlap", False)
+            and scfg.shard_weights and not scfg.shard_spatial
+            and w.ndim == 2
+            and mesh.shape[scfg.model_axis] > 1
+            and x.shape[-1] % mesh.shape[scfg.model_axis] == 0
+            and w.shape[-1] % mesh.shape[scfg.model_axis] == 0):
+        # TP FC via the ring-pipelined collective matmul: constrain x
+        # onto its K axis (the previous column-parallel layer's output
+        # sharding) so the K-chunk ring replaces GSPMD's blocking
+        # all-gather; y comes back sharded on out-channels like the
+        # declarative path's.  SURVEY.md §2.5 overlap requirement.
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel.overlap import allgather_matmul
+        ax = scfg.model_axis
+        xs = jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec(None, ax)))
+        b32 = bias.astype(jnp.float32) if bias is not None else None
+        y = allgather_matmul(mesh, ax, xs.astype(jnp.float32), w
+                             .astype(jnp.float32), bias=b32,
+                             w_sharded_out=True)
+        return [apply_activation(y, act).astype(x.dtype)]
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
@@ -1412,13 +1474,44 @@ def _lower_lrn(node, inputs, params, ctx):
     k = node.attrs.get("k", 1.0)
     sq = x * x
     half = n // 2
-    # Sliding-window sum over the channel axis via reduce_window.
-    ssum = jax.lax.reduce_window(
-        sq, 0.0, jax.lax.add,
-        window_dimensions=(1,) * (x.ndim - 1) + (n,),
-        window_strides=(1,) * x.ndim,
-        padding=((0, 0),) * (x.ndim - 1) + ((half, n - 1 - half),),
-    )
+    C = x.shape[-1]
+    if ctx.config.lrn_band and C >= n:
+        # Channel-window sum as a banded matmul: the window slides along
+        # the 128-lane minor axis, where reduce_window emits one lane
+        # rotation per shift (measured 4.5-4.7 ms for ONE LRN at
+        # (256,56,56,192) — the dominant cost of GoogLeNet's stem).  The
+        # MXU form is a single (M, C) x (C, C) dot against the 0/1 band
+        # B[i, j] = [j - half <= i <= j + n - 1 - half]; HIGHEST
+        # precision keeps the <=n-term sums exact to f32 rounding.
+        i = np.arange(C)
+        d = i[:, None] - i[None, :]               # input idx - output idx
+        band = ((d >= -half) & (d <= n - 1 - half)).astype(np.float32)
+        sq2 = sq.reshape(-1, C)
+        if ctx.config.compute_dtype == "bfloat16":
+            # production bf16 mode: x arrived bf16, so a 1-pass bf16
+            # dot's 2^-9 relative error on ssum matches the rest of the
+            # net's precision; the f32-exact alternatives measured WORSE
+            # whole-model (paired, GoogLeNet w8a8 b256): an explicit
+            # bf16x2 hi/lo split costs ~5 extra HBM passes over the
+            # stem-sized tensor (8.4k img/s vs 18.8k reduce_window!),
+            # HIGHEST's multi-pass f32 dot keeps only +4.2%.
+            ssum = jnp.dot(sq2.astype(jnp.bfloat16),
+                           jnp.asarray(band, jnp.bfloat16),
+                           preferred_element_type=jnp.float32
+                           ).reshape(sq.shape)
+        else:
+            # f32 mode (CPU oracle/goldens): exact to f32 rounding
+            ssum = jnp.dot(sq2, jnp.asarray(band),
+                           precision=jax.lax.Precision.HIGHEST
+                           ).reshape(sq.shape)
+    else:
+        # Sliding-window sum over the channel axis via reduce_window.
+        ssum = jax.lax.reduce_window(
+            sq, 0.0, jax.lax.add,
+            window_dimensions=(1,) * (x.ndim - 1) + (n,),
+            window_strides=(1,) * x.ndim,
+            padding=((0, 0),) * (x.ndim - 1) + ((half, n - 1 - half),),
+        )
     b = k + (alpha / n) * ssum
     # b^-beta for the common Caffe betas via rsqrt/sqrt instead of
     # pow = exp(-beta*log(b)): two transcendentals per element on a

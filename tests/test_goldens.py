@@ -50,10 +50,18 @@ MODELS = sorted(MODEL_BUILDERS)
 
 def _tensor_fp(arr) -> dict:
     out = np.asarray(arr, np.float32).ravel()
+    # seeded random projection: a full-tensor checksum that first8/sum
+    # can miss (e.g. a changed reduction order shifting mid-tensor
+    # values while the sum compensates).  The projection vector is a
+    # fixed function of the tensor length, so fingerprints are stable
+    # across runs and regen is deterministic.
+    v = np.random.default_rng(20260820 + out.size).standard_normal(
+        out.size).astype(np.float32)
     return {
-        "first8": [round(float(v), 6) for v in out[:8]],
+        "first8": [round(float(v_), 6) for v_ in out[:8]],
         "argmax": int(out.argmax()),
         "sum": round(float(out.sum()), 5),
+        "proj": round(float(np.dot(out, v)), 5),
     }
 
 
@@ -101,6 +109,13 @@ def test_golden_logits(name):
                                    err_msg=f"{name}/{tname}")
         np.testing.assert_allclose(t["sum"], r["sum"], rtol=1e-4,
                                    err_msg=f"{name}/{tname}")
+        # scale the projection tolerance by the tensor's norm proxy
+        # (|sum| is a poor proxy for cancellation-heavy tensors, so use
+        # an absolute floor derived from first8's magnitude too)
+        np.testing.assert_allclose(
+            t["proj"], r["proj"], rtol=1e-3,
+            atol=1e-3 * (1.0 + max(abs(v) for v in t["first8"])),
+            err_msg=f"{name}/{tname} random-projection checksum")
 
 
 if __name__ == "__main__":

@@ -203,6 +203,38 @@ def test_faster_rcnn_structure_and_mini_forward(rng):
     assert (rois_v[:, 2] >= 0).all() and (rois_v[:, 4] <= 63).all()
 
 
+def test_two_stage_batch4_matches_batch1(rng):
+    """Batched two-stage path (VERDICT r2 item 4): the CI-sized Faster
+    R-CNN zoo model at batch 4 matches four batch-1 runs per image —
+    same seed gives identical weights, and the batched ROI head gathers
+    from the right image via the rois batch_idx column."""
+    from feathercnn_tpu.models import faster_rcnn_vgg16
+    kw = dict(size=(96, 128), pre_nms_top_n=200, post_nms_top_n=32)
+    g4 = faster_rcnn_vgg16(batch=4, **kw)
+    post_n = 32
+    assert g4.specs["proposal"].shape == (4 * post_n, 5)
+    assert g4.specs["cls_prob"].shape == (4 * post_n, 21)
+    x = rng.normal(size=(4, 96, 128, 3)).astype(np.float32)
+    info = np.asarray([[96.0, 128.0, 1.0]] * 4, np.float32)
+    res4 = Engine(g4).run({"data": x, "im_info": info},
+                          extract=["cls_prob", "proposal"])
+    cls4 = np.asarray(res4["cls_prob"])
+    rois4 = np.asarray(res4["proposal"])
+    eng1 = Engine(faster_rcnn_vgg16(batch=1, **kw))
+    for b in range(4):
+        r1 = eng1.run({"data": x[b:b + 1], "im_info": info[b:b + 1]},
+                      extract=["cls_prob", "proposal"])
+        rois1 = np.asarray(r1["proposal"])
+        blk = rois4[b * post_n:(b + 1) * post_n]
+        real = rois1[:, 0] == 0
+        np.testing.assert_array_equal(blk[real, 0], float(b))
+        np.testing.assert_allclose(blk[:, 1:], rois1[:, 1:],
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(
+            cls4[b * post_n:(b + 1) * post_n][real],
+            np.asarray(r1["cls_prob"])[real], rtol=1e-3, atol=1e-4)
+
+
 def test_rfcn_structure_and_mini_forward(rng):
     """R-FCN ResNet-101 zoo: a-trous stage-5 keeps stride 16 (38x50 at
     600x800), PSROIPooling + vote shapes; then a tiny builder-level

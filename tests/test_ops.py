@@ -27,6 +27,24 @@ def test_lrn_vs_torch(rng):
     np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-6)
 
 
+def test_lrn_band_matches_reduce_window(rng):
+    """The banded-matmul LRN path (lrn_band, the production default)
+    must match the reduce_window oracle to f32 rounding — including even
+    local_size (asymmetric window) and C < n (fallback)."""
+    from feathercnn_tpu import EngineConfig
+    for C, n in ((16, 5), (16, 4), (192, 5), (3, 5)):
+        x = rng.normal(size=(2, 4, 4, C)).astype(np.float32)
+        attrs = {"local_size": n, "alpha": 1e-3, "beta": 0.75, "k": 1.0}
+        g = Graph("t", {"x": TensorSpec(x.shape)}, ["y"],
+                  [Node("n", "LRN", ["x"], ["y"], attrs)])
+        y_band = np.asarray(Engine(g, EngineConfig(lrn_band=True),
+                                   optimize_graph=False)(x))
+        y_rw = np.asarray(Engine(g, EngineConfig(lrn_band=False),
+                                 optimize_graph=False)(x))
+        np.testing.assert_allclose(y_band, y_rw, rtol=2e-6, atol=1e-7,
+                                   err_msg=f"C={C} n={n}")
+
+
 def test_caffe_ave_pool_pad_counting(rng):
     """Caffe AVE pooling divides by the window clipped to the padded
     region — not by the constant kernel area."""
@@ -394,7 +412,16 @@ def test_roipool_table_matches_masks(rng):
     both are pure selections over the same bin partitions — including
     empty bins, off-map ROIs, and degenerate 1-cell ROIs."""
     from feathercnn_tpu import EngineConfig
-    x = rng.normal(size=(1, 23, 31, 5)).astype(np.float32)
+    # pow2 H/W maps pin the pyramid-level clamp: len==size==2^m used to
+    # index one level past the table and return NaN (ADVICE r2, high)
+    for shape in ((1, 23, 31, 5), (1, 16, 16, 5), (1, 32, 64, 5),
+                  (1, 8, 23, 5), (1, 1, 1, 5)):
+        _roipool_table_vs_masks(rng, shape)
+
+
+def _roipool_table_vs_masks(rng, shape):
+    from feathercnn_tpu import EngineConfig
+    x = rng.normal(size=shape).astype(np.float32)
     rois = np.concatenate([
         np.asarray([
             [0, 0, 0, 1000, 1000],    # whole map (clips)
@@ -418,6 +445,7 @@ def test_roipool_table_matches_masks(rng):
                                   optimize_graph=False).run(feed)["y"])
         y_msk = np.asarray(Engine(g, EngineConfig(roipool_table=False),
                                   optimize_graph=False).run(feed)["y"])
+        assert np.isfinite(y_tab).all(), shape
         np.testing.assert_array_equal(y_tab, y_msk)
 
 
@@ -526,6 +554,42 @@ def test_proposal_batch2_matches_per_image(rng):
         np.testing.assert_array_equal(blk[~real, 0], -1.0)
 
 
+def test_roipool_batch_matches_per_image(rng):
+    """Batched ROIPooling (flattened-row-axis gather, VERDICT r2 item 4):
+    each ROI's output equals the batch-1 run on its own image, on both
+    the dyadic-table and mask paths; padding rows (batch_idx=-1) are 0."""
+    from feathercnn_tpu import EngineConfig
+    N, H, W, C = 3, 14, 10, 6
+    x = rng.normal(size=(N, H, W, C)).astype(np.float32)
+    per_img = np.asarray([
+        [0, 0, 0, 100, 100],
+        [2, 32, 16, 128, 96],
+        [1, 80, 64, 81, 65],
+        [0, 8, 24, 104, 120],
+        [2, 0, 48, 159, 223],
+        [-1, 0, 0, 0, 0],         # Proposal padding sentinel
+        [1, 0, 0, 220, 150],
+    ], np.float32)
+    for table in (True, False):
+        g = Graph("t", {"x": TensorSpec(x.shape),
+                        "rois": TensorSpec(per_img.shape)}, ["y"],
+                  [Node("n", "ROIPooling", ["x", "rois"], ["y"],
+                        {"pooled_h": 3, "pooled_w": 4,
+                         "spatial_scale": 1 / 16.0})])
+        y = np.asarray(Engine(g, EngineConfig(roipool_table=table),
+                              optimize_graph=False).run(
+            {"x": x, "rois": per_img})["y"])
+        assert np.isfinite(y).all()
+        for r, roi in enumerate(per_img):
+            b = int(roi[0])
+            if b < 0:
+                np.testing.assert_array_equal(y[r], 0.0)
+                continue
+            ref = _np_roipool(x[b], roi[None], 3, 4, 1 / 16.0)[0]
+            np.testing.assert_allclose(y[r], ref, rtol=1e-6, atol=1e-6,
+                                       err_msg=f"roi {r} table={table}")
+
+
 def _np_psroipool(x, rois, k, cdim, scale):
     """Direct numpy port of R-FCN psroi_pooling_layer.cu (float bins)."""
     H, W, _ = x.shape
@@ -569,3 +633,33 @@ def test_psroipooling_vs_numpy(rng):
         {"x": x, "rois": rois})["y"])
     ref = _np_psroipool(x[0], rois, k, cdim, 1 / 16.0)
     np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_psroipooling_batch_matches_per_image(rng):
+    """Batched PSROIPooling: each ROI pools from its own image
+    (batch_idx column), padding rows (batch_idx=-1) return 0."""
+    k, cdim = 3, 4
+    N = 2
+    x = rng.normal(size=(N, 12, 9, k * k * cdim)).astype(np.float32)
+    rois = np.asarray([
+        [1, 0, 0, 130, 170],
+        [0, 16, 32, 120, 150],
+        [1, 48, 16, 90, 120],
+        [-1, 0, 0, 0, 0],
+        [0, 63, 63, 62, 62],
+    ], np.float32)
+    g = Graph("t", {"x": TensorSpec(x.shape),
+                    "rois": TensorSpec(rois.shape)}, ["y"],
+              [Node("n", "PSROIPooling", ["x", "rois"], ["y"],
+                    {"group_size": k, "output_dim": cdim,
+                     "spatial_scale": 1 / 16.0})])
+    y = np.asarray(Engine(g, optimize_graph=False).run(
+        {"x": x, "rois": rois})["y"])
+    for r, roi in enumerate(rois):
+        b = int(roi[0])
+        if b < 0:
+            np.testing.assert_array_equal(y[r], 0.0)
+            continue
+        ref = _np_psroipool(x[b], roi[None], k, cdim, 1 / 16.0)[0]
+        np.testing.assert_allclose(y[r], ref, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"roi {r}")

@@ -182,7 +182,8 @@ def tune_regions(graph, dtype: str, quant, iters: int = 15):
 
 
 _TUNABLE_FLAGS = ("merge_siblings", "merge_concats", "int8_grouped",
-                  "int8_requant_ops", "nms_blocked", "roipool_table")
+                  "int8_requant_ops", "nms_blocked", "roipool_table",
+                  "lrn_band")
 
 
 def tune_flags(graph, dtype: str, quant, rounds: int = 5, iters: int = 20,
@@ -219,7 +220,8 @@ def tune_flags(graph, dtype: str, quant, rounds: int = 5, iters: int = 20,
     # rounds measuring noise — skip them
     ops = {n.op for n in graph.nodes}
     relevant = {"nms_blocked": {"Proposal", "DetectionOutput"},
-                "roipool_table": {"ROIPooling"}}
+                "roipool_table": {"ROIPooling"},
+                "lrn_band": {"LRN"}}
     variants = [("base", base_cfg)]
     for flag in _TUNABLE_FLAGS:
         need = relevant.get(flag)
