@@ -288,14 +288,19 @@ class Converter:
             attrs = {"pool": _POOL_MODES.get(p.get("pool", 0), "MAX"),
                      "global_pooling": bool(p.get("global_pooling", False))}
             if not attrs["global_pooling"]:
-                ks = p.get("kernel_size", 0)
+                # kernel_size/stride/pad are `repeated` in caffe.proto —
+                # the text parser yields lists (e.g. pool1's
+                # `kernel_size: 3` arrives as [3]); _first unwraps
+                ks = _first(p.get("kernel_size"), 0)
                 attrs.update(
                     kernel_h=int(p.get("kernel_h", ks)),
                     kernel_w=int(p.get("kernel_w", ks)),
-                    stride_h=int(p.get("stride_h", p.get("stride", 1))),
-                    stride_w=int(p.get("stride_w", p.get("stride", 1))),
-                    pad_h=int(p.get("pad_h", p.get("pad", 0))),
-                    pad_w=int(p.get("pad_w", p.get("pad", 0))),
+                    stride_h=int(p.get("stride_h",
+                                       _first(p.get("stride"), 1))),
+                    stride_w=int(p.get("stride_w",
+                                       _first(p.get("stride"), 1))),
+                    pad_h=int(p.get("pad_h", _first(p.get("pad"), 0))),
+                    pad_w=int(p.get("pad_w", _first(p.get("pad"), 0))),
                     ceil_mode=(int(p.get("round_mode", 0)) == 0),
                 )
             op = "Pooling"
