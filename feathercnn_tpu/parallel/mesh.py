@@ -48,6 +48,14 @@ class ShardingConfig:
     # huge spatial inputs (segmentation/detection at batch 1) where the
     # batch can't cover the mesh.  Weights replicate in this mode.
     shard_spatial: bool = False
+    # Route TP InnerProduct layers through the ring-pipelined collective
+    # matmul (parallel/overlap.py allgather_matmul) instead of leaving
+    # the K-axis all-gather to GSPMD: the per-chunk ppermute is
+    # dataflow-independent of the previous chunk's dot, so the
+    # latency-hiding scheduler overlaps ICI with MXU (SURVEY.md §2.5
+    # "collectives overlapped with conv compute").  Correctness-tested
+    # on the virtual mesh; wall-clock benefit needs real multi-chip ICI.
+    ring_overlap: bool = False
 
     @property
     def data_axis(self) -> str:

@@ -37,10 +37,16 @@ def _ring_perm(n, reverse=False):
 
 
 def allgather_matmul(mesh: Mesh, axis: str, x_sharded, w, bias=None,
-                     activation=None):
+                     activation=None, w_sharded_out: bool = False):
     """x sharded on its last (K) axis over ``axis``; W (K, N) replicated.
     Returns the full y = x @ W on every device, with the K-chunk matmuls
     pipelined against the ring transfers.
+
+    w_sharded_out=True is the Megatron column-parallel form the engine's
+    TP path uses (ShardingConfig.ring_overlap): W arrives sharded on its
+    OUTPUT axis (each device holds (K, N/n)), bias sharded likewise, and
+    y returns sharded on N — the ring hides the x all-gather that GSPMD
+    would otherwise emit as one blocking collective before the dot.
     """
     n = mesh.shape[axis]
 
@@ -70,10 +76,12 @@ def allgather_matmul(mesh: Mesh, axis: str, x_sharded, w, bias=None,
             y = jnp.maximum(y, 0)
         return y.astype(x_local.dtype)
 
+    w_spec = P(None, axis) if w_sharded_out else P()
+    b_spec = P(axis) if (w_sharded_out and bias is not None) else P()
     return jax.shard_map(
         body, mesh=mesh, check_vma=False,
-        in_specs=(P(None, axis), P(), P()),
-        out_specs=P(),
+        in_specs=(P(None, axis), w_spec, b_spec),
+        out_specs=P(None, axis) if w_sharded_out else P(),
     )(x_sharded, w, bias if bias is not None else jnp.zeros((), jnp.float32))
 
 

@@ -61,18 +61,31 @@ def spatial_conv2d(mesh: Mesh, axis: str, x, w, bias=None,
     n_shards = mesh.shape[axis]
     H = x.shape[1]
     assert H % n_shards == 0, (H, n_shards)
-    # Stride-1 only: strided spatial sharding needs per-shard phase
-    # alignment — gather or re-shard instead (documented limitation).
-    assert stride == 1, "spatial_conv2d supports stride 1"
+    # Strided phase alignment: each shard's H_local must hold a whole
+    # number of stride phases so that shard d's first output row
+    # o0 = d*H_local/stride reads exactly from global input row
+    # o0*stride - pad = d*H_local - pad — i.e. `pad` halo rows from the
+    # neighbour above, and max(KH - stride - pad, 0) from below (the
+    # strided window's last read sits stride-1 rows higher than the
+    # dense one's).  H_local % stride != 0 would shift every following
+    # shard's phase; re-shard or gather instead.
+    h_local = H // n_shards
+    assert h_local % stride == 0, (
+        f"spatial_conv2d: H_local {h_local} must be divisible by "
+        f"stride {stride} for per-shard phase alignment")
 
     def body(x_local, w, b):
         # Halo covers what the local output rows need beyond the shard:
         # with 'SAME'-style pad at the global edges handled by zeros.
-        xh = halo_exchange(x_local, axis, pad, KH - 1 - pad)
+        xh = halo_exchange(x_local, axis, pad, max(KH - stride - pad, 0))
         y = jax.lax.conv_general_dilated(
             xh, w, (stride, stride), ((0, 0), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32).astype(x_local.dtype)
+        # when stride + pad > KH the bottom halo can't go negative, so
+        # the valid conv may emit one extra row — crop to the shard's
+        # phase-aligned output count
+        y = y[:, :h_local // stride]
         if b is not None:
             y = y + b.astype(y.dtype)
         if activation == "relu":

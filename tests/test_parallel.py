@@ -87,6 +87,23 @@ def test_spatial_conv_5x5(mesh, rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_spatial_conv_stride2(mesh, rng):
+    """Strided explicit spatial sharding (VERDICT r2 item 9): per-shard
+    phase alignment for the three canonical downsample shapes — 3x3 s2
+    pad1 (ResNet transition), 1x1 s2 (projection shortcut, bottom halo
+    clamps to 0 and the extra valid row is cropped), 7x7 s2 pad3 (stem,
+    halo wider than one phase)."""
+    for kh, pad in ((3, 1), (1, 0), (7, 3)):
+        x = jnp.asarray(rng.normal(size=(1, 16, 8, 4)).astype(np.float32))
+        w = jnp.asarray(
+            rng.normal(size=(kh, kh, 4, 4)).astype(np.float32))
+        y = spatial_conv2d(mesh, "model", x, w, stride=2, pad=pad)
+        ref = _ref_conv(x, w, stride=2, pad=pad)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"k={kh} pad={pad}")
+
+
 def test_engine_dp_tp_sharding(mesh, rng):
     """Whole-engine run on a (2,4) mesh matches single-device (the
     declarative GSPMD path of parallel/mesh.py)."""
@@ -132,6 +149,39 @@ def test_allgather_matmul_overlapped(mesh, rng):
     ref = jnp.maximum(x @ w + b, 0)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_allgather_matmul_w_sharded_out(mesh, rng):
+    """The Megatron column-parallel ring form (w sharded on OUT, bias
+    sharded, y returned N-sharded) == gather-then-matmul."""
+    from feathercnn_tpu.parallel.overlap import allgather_matmul
+    x = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    y = allgather_matmul(mesh, "model", x, w, b, activation="relu",
+                         w_sharded_out=True)
+    ref = jnp.maximum(x @ w + b, 0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_engine_ring_overlap_fc(mesh, rng):
+    """ShardingConfig.ring_overlap routes TP FCs through the ring
+    collective matmul inside the engine (VERDICT r2 item 7): mesh
+    result == single-device result on a conv->FC->FC net."""
+    from feathercnn_tpu.models.builder import GraphBuilder
+    b = GraphBuilder("net", seed=9)
+    x = b.input("data", (4, 4, 4, 8))
+    y = b.conv("c1", x, 16, 3, pad=1, relu=True)
+    y = b.fc("fc1", y, 32, relu=True)
+    y = b.fc("fc2", y, 8)
+    g = b.finish([y])
+    xv = rng.normal(size=(4, 4, 4, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    eng = Engine(g, EngineConfig(sharding=ShardingConfig(
+        mesh_shape=(2, 4), ring_overlap=True)))
+    np.testing.assert_allclose(np.asarray(eng(xv)), ref,
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_matmul_reducescatter_ring(mesh, rng):
