@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--quant", default=None)
     ap.add_argument("--timeout-us", type=int, default=3000)
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="1 = synchronous serve loop (A/B the "
+                         "dispatch/fetch double-buffering)")
     args = ap.parse_args()
     if args.quant in ("none", "None"):
         args.quant = None
@@ -51,7 +54,8 @@ def main():
                                  algo_overrides=((("*", "xla"),)
                                                  if args.quant else ())))
     srv = InferenceServer(eng, batch_size=args.batch,
-                          batch_timeout_us=args.timeout_us)
+                          batch_timeout_us=args.timeout_us,
+                          pipeline_depth=args.pipeline_depth)
     print("compiling fixed batch slot...", file=sys.stderr)
     srv.start()
 
@@ -90,6 +94,7 @@ def main():
         "model": args.model,
         "quant": args.quant,
         "batch_slot": args.batch,
+        "pipeline_depth": args.pipeline_depth,
         "clients": args.clients,
         "requests": n,
         "throughput_img_s": round(n / wall, 1),

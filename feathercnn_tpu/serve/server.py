@@ -55,14 +55,22 @@ class InferenceServer:
                  prefer_native_queue: bool = True,
                  transfer_dtype: Optional[str] = "auto",
                  batch_slots: Optional[list] = None,
-                 extra_inputs: Optional[Dict[str, np.ndarray]] = None):
+                 extra_inputs: Optional[Dict[str, np.ndarray]] = None,
+                 pipeline_depth: int = 2):
         """``extra_inputs``: fixed per-deployment values for graph
         inputs beyond the first (e.g. the two-stage detectors'
-        ``im_info`` — one image geometry per serving endpoint)."""
+        ``im_info`` — one image geometry per serving endpoint).
+
+        ``pipeline_depth`` > 1 double-buffers the serve loop: batch k's
+        device fetch is deferred until batch k+1 has been DISPATCHED, so
+        the next host->device transfer and compute overlap the previous
+        fetch (JAX dispatch is async; np.asarray is the sync point).
+        1 restores the fully synchronous loop."""
         self.engine = engine
         self.batch_size = batch_size
         self.batch_timeout_us = batch_timeout_us
         self.max_retries = max_retries
+        self.pipeline_depth = pipeline_depth
         # Multiple pre-compiled batch slots: a lightly loaded server runs
         # small batches at low latency instead of padding every request
         # group up to the full slot (the reference's analog is its
@@ -144,7 +152,16 @@ class InferenceServer:
             self._result_shape = (
                 int(sum(int(np.prod(s)) for s in per_req)),)
 
-        self.queue = make_queue(self._item_shape, np.float32,
+        # Quantize-on-INGEST: when the engine takes int8 input, the
+        # queue itself carries int8 items — each request quantizes once
+        # on its own client thread (or arrives pre-quantized from the
+        # C++ preprocess path, fcnn_preprocess_i8), so the serve loop's
+        # batch assembly is a byte memcpy instead of a whole-batch numpy
+        # round/clip/cast, and queue memory shrinks 4x.
+        self._queue_dtype = (np.dtype(np.int8)
+                             if self._transfer_scale is not None
+                             else np.dtype(np.float32))
+        self.queue = make_queue(self._item_shape, self._queue_dtype,
                                 self._result_shape, np.float32,
                                 prefer_native=prefer_native_queue)
 
@@ -192,7 +209,11 @@ class InferenceServer:
         if the serve loop exhausted its retries on this request's batch.
         Multi-output engines return the packed flat row — use
         ``infer_outputs`` for the name->array dict."""
-        ticket = self.queue.submit(image.astype(np.float32))
+        if self._queue_dtype == np.int8 and image.dtype != np.int8:
+            image = np.clip(
+                np.round(image.astype(np.float32) / self._transfer_scale),
+                -127, 127).astype(np.int8)
+        ticket = self.queue.submit(image.astype(self._queue_dtype))
         if not ticket:
             return None
         out = self.queue.wait_result(ticket, int(timeout_s * 1e6))
@@ -240,68 +261,120 @@ class InferenceServer:
         return next((s for s in self.batch_slots if s >= n_real),
                     self.batch_slots[-1])
 
-    def _run_batch(self, batch: np.ndarray) -> np.ndarray:
+    def _dispatch_batch(self, batch: np.ndarray):
+        """Assemble + send a batch to the device WITHOUT fetching: the
+        returned outputs are lazy jax arrays (dispatch is async), so the
+        caller can overlap this batch's transfer+compute with the
+        previous batch's fetch."""
         n_real = broadcast_plan(batch.shape[0])
         slot = self.select_slot(n_real)
         if n_real < slot:
             pad = np.zeros((slot - n_real,) + self._item_shape,
-                           np.float32)
+                           batch.dtype)
             full = np.concatenate([batch[:n_real], pad])
             self.metrics["pad_images"] += slot - n_real
         else:
             full = batch[:slot]
-        full = self._to_transfer(full)
+        if full.dtype != np.int8:       # int8 queues quantized on ingest
+            full = self._to_transfer(full)
         outs = self.engine.run({self._in_name: full,
                                 **self._extra_inputs})
+        return outs, slot, batch.shape[0]
+
+    def _finalize_batch(self, outs, slot: int, nb: int) -> np.ndarray:
+        """Fetch the dispatched outputs (the np.asarray sync point)."""
         if len(self._out_names) == 1:
             out = outs[self._out_names[0]]
             if self._whole_output:
                 return np.asarray(out, np.float32)[None]
             out = np.asarray(out, np.float32).reshape(slot, -1)
-            return out[:batch.shape[0]].reshape(
-                (batch.shape[0],) + self._result_shape)
+            return out[:nb].reshape((nb,) + self._result_shape)
         if self._whole_output:                      # one packed row
             return np.concatenate(
                 [np.asarray(outs[nm], np.float32).ravel()
                  for nm in self._out_names])[None]
         parts = [np.asarray(outs[nm], np.float32).reshape(slot, -1)
                  for nm in self._out_names]
-        return np.concatenate(parts, axis=1)[:batch.shape[0]]
+        return np.concatenate(parts, axis=1)[:nb]
+
+    def _run_batch(self, batch: np.ndarray) -> np.ndarray:
+        return self._finalize_batch(*self._dispatch_batch(batch))
+
+    def _complete(self, batch, tickets, dispatched, t0,
+                  first_failed: bool = False) -> None:
+        """Finalize a dispatched batch (or re-run it) under the
+        retry/failure policy, post results, book metrics."""
+        for attempt in range(self.max_retries + 1):
+            try:
+                if dispatched is not None:
+                    results = self._finalize_batch(*dispatched)
+                    dispatched = None    # retries re-run from scratch
+                elif first_failed and attempt == 0:
+                    raise RuntimeError("dispatch failed")  # consume try
+                else:
+                    results = self._run_batch(batch)
+                self.queue.post_results(tickets, results)
+                self._fault_count = 0
+                break
+            except Exception:
+                self.metrics["faults"] += 1
+                self._fault_count += 1
+                if attempt == self.max_retries:
+                    # Mark the tickets failed (the explicit status
+                    # ``infer`` raises on), then post filler results
+                    # so waiters unblock.
+                    with self._failed_lock:
+                        for t in tickets:
+                            self._failed[t] = True
+                    filler = np.zeros(
+                        (len(tickets),) + self._result_shape,
+                        np.float32)
+                    self.queue.post_results(tickets, filler)
+                if self._fault_count >= 3:
+                    self._healthy.clear()
+        self.metrics["batches"] += 1
+        self.metrics["images"] += len(tickets)
+        self.metrics["batch_latency_ms_sum"] += (time.time() - t0) * 1e3
 
     def _serve_loop(self) -> None:
+        # Double-buffered when pipeline_depth > 1: dispatch batch k+1
+        # before fetching batch k, so the next transfer+compute rides
+        # behind the previous fetch.  collect() BLOCKS while the queue
+        # is empty (both queue impls), so an in-flight batch must drain
+        # whenever no new work is queued — otherwise its clients would
+        # wait behind an indefinite collect.
+        pending = None   # (batch, tickets, dispatched, t0)
         while not self._stop.is_set():
+            if pending is not None and self.queue.depth() == 0:
+                self._complete(*pending)
+                pending = None
             batch, tickets = self.queue.collect(self.batch_size,
                                                 self.batch_timeout_us)
             if not tickets:
+                if pending is not None:
+                    self._complete(*pending)
+                    pending = None
                 if self._stop.is_set():
                     return
                 continue
             t0 = time.time()
-            for attempt in range(self.max_retries + 1):
+            dispatched = None
+            failed = False
+            if self.pipeline_depth > 1:
                 try:
-                    results = self._run_batch(batch)
-                    self.queue.post_results(tickets, results)
-                    self._fault_count = 0
-                    break
+                    dispatched = self._dispatch_batch(batch)
                 except Exception:
-                    self.metrics["faults"] += 1
-                    self._fault_count += 1
-                    if attempt == self.max_retries:
-                        # Mark the tickets failed (the explicit status
-                        # ``infer`` raises on), then post filler results
-                        # so waiters unblock.
-                        with self._failed_lock:
-                            for t in tickets:
-                                self._failed[t] = True
-                        filler = np.zeros(
-                            (len(tickets),) + self._result_shape,
-                            np.float32)
-                        self.queue.post_results(tickets, filler)
-                    if self._fault_count >= 3:
-                        self._healthy.clear()
-            self.metrics["batches"] += 1
-            self.metrics["images"] += len(tickets)
-            self.metrics["batch_latency_ms_sum"] += (time.time() - t0) * 1e3
+                    failed = True    # counted in _complete's retry loop
+            if pending is not None:
+                self._complete(*pending)
+                pending = None
+            if dispatched is not None:
+                pending = (batch, tickets, dispatched, t0)
+            else:
+                self._complete(batch, tickets, None, t0,
+                               first_failed=failed)
+        if pending is not None:
+            self._complete(*pending)
 
     def _heartbeat_loop(self) -> None:
         while not self._stop.is_set():

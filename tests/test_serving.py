@@ -88,7 +88,10 @@ def test_server_fault_isolation(rng, monkeypatch):
     def boom(batch):
         raise RuntimeError("injected fault")
 
+    # the pipelined loop enters via _dispatch_batch, the retry path via
+    # _run_batch — both must hit the injected fault
     srv._run_batch = boom
+    srv._dispatch_batch = boom
     srv.start()
     try:
         with pytest.raises(InferenceFailed):
@@ -125,6 +128,69 @@ def test_server_int8_transfer_mode(rng):
             {"data": srv._to_transfer(img[None])})["fc"])[0]
         np.testing.assert_allclose(got.ravel(), want.ravel(),
                                    rtol=1e-3, atol=1e-3)
+    finally:
+        srv.stop()
+
+
+def test_server_pipelined_matches_sync(rng):
+    """pipeline_depth=2 (double-buffered dispatch/fetch overlap) returns
+    the same results as the synchronous loop, across several batches and
+    an idle drain."""
+    eng = _tiny_engine()
+    imgs = [rng.normal(size=(8, 8, 3)).astype(np.float32)
+            for _ in range(11)]
+    got = {}
+    for depth in (1, 2):
+        srv = InferenceServer(eng, batch_size=4, batch_timeout_us=2000,
+                              prefer_native_queue=False,
+                              pipeline_depth=depth)
+        srv.start()
+        try:
+            results = [None] * len(imgs)
+
+            def client(i, srv=srv, results=results):
+                results[i] = srv.infer(imgs[i], timeout_s=60)
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(len(imgs))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=90)
+            assert all(r is not None for r in results), depth
+            got[depth] = results
+            assert srv.gauges()["images"] == len(imgs)
+        finally:
+            srv.stop()
+    for a, b in zip(got[1], got[2]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_server_int8_ingest_queue(rng):
+    """int8 transfer mode quantizes on INGEST: the queue itself carries
+    int8 items, and pre-quantized int8 submissions skip the cast."""
+    from feathercnn_tpu.quant import calibrate
+    b = GraphBuilder("srv8q", seed=23)
+    x = b.input("data", (4, 8, 8, 3))
+    y = b.conv("c1", x, 8, 3, pad=1, relu=True)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 4)
+    g = b.finish([y])
+    xcal = rng.normal(size=(4, 8, 8, 3)).astype(np.float32)
+    calibrate(g, [xcal], method="max")
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 interpret=True))
+    srv = InferenceServer(eng, batch_size=4, batch_timeout_us=1000,
+                          prefer_native_queue=False)
+    assert srv._queue_dtype == np.int8
+    srv.start()
+    try:
+        img = xcal[0]
+        got_f32 = srv.infer(img, timeout_s=30)
+        pre = np.clip(np.round(img / srv._transfer_scale), -127,
+                      127).astype(np.int8)
+        got_i8 = srv.infer(pre, timeout_s=30)
+        np.testing.assert_allclose(got_f32, got_i8, rtol=1e-5, atol=1e-6)
     finally:
         srv.stop()
 
@@ -219,7 +285,9 @@ def test_server_retry_then_success(rng):
     eng = _tiny_engine()
     srv = InferenceServer(eng, batch_size=4, batch_timeout_us=1000,
                           max_retries=1, prefer_native_queue=False)
-    real = srv._run_batch
+    # hook the pipelined loop's entry (_dispatch_batch); the retry path
+    # re-runs through the unpatched _run_batch and succeeds
+    real = srv._dispatch_batch
     state = {"fails": 1}
 
     def flaky(batch):
@@ -228,7 +296,7 @@ def test_server_retry_then_success(rng):
             raise RuntimeError("transient")
         return real(batch)
 
-    srv._run_batch = flaky
+    srv._dispatch_batch = flaky
     srv.start()
     try:
         out = srv.infer(rng.normal(size=(8, 8, 3)).astype(np.float32),
@@ -461,15 +529,15 @@ def test_slot_selection_and_padding_policy(rng):
                     (9, 8)]:
         assert srv.select_slot(n) == want, (n, want)
 
-    # burst drain bound: stub the engine run, count device batches
+    # burst drain bound: hook the dispatch entry, count device batches
     sizes = []
-    real_run = srv._run_batch
+    real_disp = srv._dispatch_batch
 
-    def counting_run(batch):
+    def counting_disp(batch):
         sizes.append(batch.shape[0])
-        return real_run(batch)
+        return real_disp(batch)
 
-    srv._run_batch = counting_run
+    srv._dispatch_batch = counting_disp
     try:
         M = 29
         imgs = [rng.normal(size=(8, 8, 3)).astype(np.float32)
