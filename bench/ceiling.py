@@ -177,6 +177,10 @@ def main():
                     choices=["stage", "layer"])
     ap.add_argument("--cuts", default=None,
                     help="explicit comma list of blob names to cut after")
+    ap.add_argument("--max-cuts", type=int, default=14,
+                    help="cap the number of prefixes (auto cuts are "
+                         "thinned evenly, keeping the last) — each prefix "
+                         "is a full XLA compile through the remote helper")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -229,6 +233,10 @@ def main():
         ks = cuts_from_blobs(eng.graph, args.cuts.split(","))
     else:
         ks = auto_cuts(eng.graph, args.granularity)
+        if args.max_cuts and len(ks) > args.max_cuts:
+            idx = np.linspace(0, len(ks) - 1, args.max_cuts)
+            ks = sorted({ks[int(round(i))] for i in idx} | {ks[-1]})
+            log(f"thinned to {len(ks)} cuts (--max-cuts {args.max_cuts})")
     log(f"{len(ks)} cuts: " + ", ".join(
         eng.graph.nodes[k - 1].name for k in ks))
 
