@@ -128,6 +128,15 @@ class EngineConfig:
     # reduce_window oracle (A/B via batch_sweep --variants no-lrn_band).
     lrn_band: bool = True
 
+    # ShuffleChannel as a one-hot permutation matmul (x @ P, one nonzero
+    # per column — exact in every dtype) instead of the
+    # reshape/transpose lane relayout.  ShuffleNet's channel counts sit
+    # under 128 lanes, where sub-lane permutations are relayout-bound;
+    # the MXU does the permutation as a matmul nearly for free (same
+    # insight as lrn_band / the SSD one-hot gather).  A/B per model via
+    # batch_sweep --variants shuffle_matmul.
+    shuffle_matmul: bool = False
+
     # Persistent compiled-executable cache directory (cuts serving restart
     # latency — SURVEY.md §5 checkpoint/resume).  None disables.
     compilation_cache_dir: Optional[str] = None

@@ -1543,6 +1543,26 @@ def _lower_shuffle_channel(node, inputs, params, ctx):
     if g == 1:
         return [x]
     lead, c = x.shape[:-1], x.shape[-1]
+    if ctx.config.shuffle_matmul:
+        # One-hot permutation matmul (EngineConfig.shuffle_matmul): the
+        # channel axis is the 128-lane minor dim and ShuffleNet's counts
+        # sit UNDER 128 lanes, where the reshape/transpose relayout is
+        # lane-shuffle-bound; x @ P runs on the MXU instead.  Exact in
+        # every dtype — each output column has exactly one nonzero, so
+        # there is no accumulation (int8 values <=127 are exact in bf16;
+        # the f32 result is the input value itself).
+        perm = np.arange(c).reshape(g, c // g).T.ravel()
+        p = np.zeros((c, c), np.float32)
+        p[perm, np.arange(c)] = 1.0
+        x2 = x.reshape(-1, c)
+        if x.dtype == jnp.int8:
+            y = jnp.dot(x2.astype(jnp.bfloat16),
+                        jnp.asarray(p, jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            return [y.astype(jnp.int8).reshape(lead + (c,))]
+        y = jnp.dot(x2, jnp.asarray(p, x.dtype),
+                    precision=jax.lax.Precision.HIGHEST)
+        return [y.astype(x.dtype).reshape(lead + (c,))]
     x = x.reshape(lead + (g, c // g))
     x = jnp.swapaxes(x, -1, -2)
     return [x.reshape(lead + (c,))]

@@ -227,6 +227,42 @@ def test_shuffle_channel_caffe_semantics(rng):
     np.testing.assert_array_equal(y2, x)
 
 
+def test_shuffle_matmul_matches_relayout(rng):
+    """The one-hot permutation-matmul ShuffleChannel (shuffle_matmul)
+    must equal the reshape/transpose form EXACTLY — a permutation matmul
+    has one nonzero per column, so there is no accumulation in any
+    dtype (int8 grid values are exact in bf16)."""
+    from feathercnn_tpu import EngineConfig
+    for c, g, dtype in ((12, 3, np.float32), (240, 3, np.float32),
+                        (116, 2, np.float32)):
+        x = rng.normal(size=(2, 4, 4, c)).astype(dtype)
+        gr = Graph("t", {"x": TensorSpec(x.shape)}, ["y"],
+                   [Node("n", "ShuffleChannel", ["x"], ["y"],
+                         {"group": g})])
+        y_mm = np.asarray(Engine(gr, EngineConfig(shuffle_matmul=True),
+                                 optimize_graph=False)(x))
+        y_rl = np.asarray(Engine(gr, EngineConfig(shuffle_matmul=False),
+                                 optimize_graph=False)(x))
+        np.testing.assert_array_equal(y_mm, y_rl)
+    # int8 grid values survive the bf16 dot bit-exactly
+    import jax
+    import jax.numpy as jnp
+    from feathercnn_tpu.ops.lowering import lower_node
+    xi = rng.integers(-127, 128, size=(2, 3, 3, 60), dtype=np.int8)
+
+    class _Ctx:
+        config = EngineConfig(shuffle_matmul=True)
+
+        def qinfo(self, node):
+            return None
+
+    node = Node("n", "ShuffleChannel", ["x"], ["y"], {"group": 3})
+    (y,) = lower_node(node, [jnp.asarray(xi)], {}, _Ctx())
+    assert y.dtype == jnp.int8
+    perm = np.arange(60).reshape(3, 20).T.ravel()
+    np.testing.assert_array_equal(np.asarray(y), xi[..., perm])
+
+
 def test_threshold_layer(rng):
     x = rng.normal(size=(2, 3, 3, 5)).astype(np.float32)
     y = _run_single("Threshold", {"threshold": 0.25}, x)
