@@ -137,6 +137,15 @@ class EngineConfig:
     # batch_sweep --variants shuffle_matmul.
     shuffle_matmul: bool = False
 
+    # DenseNet-style concat ladders (c_i = Concat(c_{i-1}, y_i)) as ONE
+    # final-width buffer + in-place dynamic_update_slice appends +
+    # prefix-slice reads (passes_ladder.py) — each append writes k
+    # channels instead of re-materializing the whole growing prefix
+    # (O(L*k) vs O(L^2*k) copy bytes per block).  Whether XLA elides the
+    # buffer copies is backend-dependent: A/B per model
+    # (bench/config_ab.py) before baking.
+    concat_dus: bool = False
+
     # Persistent compiled-executable cache directory (cuts serving restart
     # latency — SURVEY.md §5 checkpoint/resume).  None disables.
     compilation_cache_dir: Optional[str] = None

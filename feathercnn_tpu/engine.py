@@ -60,6 +60,11 @@ class Engine:
                            requant_ops=self.config.int8_requant_ops,
                            int8_axpy=self.config.int8_axpy,
                            fp_act_layers=self.config.fp_act_layers)
+        if self.config.concat_dus:
+            # after the quant rewrite: the ladder pass reads the concat
+            # int8 marks to unify the chain onto one buffer scale
+            from .passes_ladder import dus_concat_ladders
+            dus_concat_ladders(self.graph)
         if self.config.fuse_blocks or self.config.fuse_chains:
             from .passes_fusion import fuse_bottlenecks, fuse_chains
             infer_shapes(self.graph)  # fresh specs for the VMEM gate

@@ -1426,6 +1426,68 @@ def _lower_concat(node, inputs, params, ctx):
     return [jnp.concatenate(inputs, axis=axis)]
 
 
+def _ladder_quant_part(x, s, y_scale):
+    """Quantize/rescale one ladder part onto the buffer grid (the same
+    semantics as the requantizing concat, _lower_concat)."""
+    if x.dtype == jnp.int8:
+        if s is not None and s != y_scale:
+            x = jnp.clip(jnp.round(x.astype(jnp.float32) * (s / y_scale)),
+                         -127, 127).astype(jnp.int8)
+        return x
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / y_scale),
+                    -127, 127).astype(jnp.int8)
+
+
+@register_lowering("LadderInit")
+def _lower_ladder_init(node, inputs, params, ctx):
+    """Concat-ladder rewrite (passes_ladder.py): materialize the chain's
+    FINAL-width buffer once — parts first, zeros after.  int8 ladders
+    quantize each part straight onto the single buffer grid."""
+    q = ctx.qinfo(node)
+    if q is not None and q.get("ladder_int8"):
+        parts = [_ladder_quant_part(x, s, q["y_scale"])
+                 for x, s in zip(inputs, q["in_scales"])]
+    else:
+        parts = list(inputs)
+    filled = sum(p.shape[-1] for p in parts)
+    pad = node.attrs["total"] - filled
+    if pad > 0:
+        shape = parts[0].shape[:-1] + (pad,)
+        parts.append(jnp.zeros(shape, parts[0].dtype))
+    return [jnp.concatenate(parts, axis=-1)]
+
+
+@register_lowering("LadderAppend")
+def _lower_ladder_append(node, inputs, params, ctx):
+    """Append parts into the ladder buffer via dynamic_update_slice —
+    XLA updates in place when buffer liveness allows, so the append
+    writes k channels instead of re-materializing the whole prefix."""
+    buf = inputs[0]
+    q = ctx.qinfo(node)
+    if q is not None and q.get("ladder_int8"):
+        parts = [_ladder_quant_part(x, s, q["y_scale"])
+                 for x, s in zip(inputs[1:], q["in_scales"])]
+    else:
+        parts = list(inputs[1:])
+    off = node.attrs["offset"]
+    for p in parts:
+        idx = (0,) * (buf.ndim - 1) + (off,)
+        buf = jax.lax.dynamic_update_slice(buf, p.astype(buf.dtype), idx)
+        off += p.shape[-1]
+    return [buf]
+
+
+@register_lowering("LadderView")
+def _lower_ladder_view(node, inputs, params, ctx):
+    """Offset-0 prefix slice of the channel-minor axis — contiguous, no
+    relayout; identity at the chain's final width."""
+    x = inputs[0]
+    c = node.attrs["channels"]
+    if c == x.shape[-1]:
+        return [x]
+    return [jax.lax.slice_in_dim(x, 0, c, axis=x.ndim - 1)]
+
+
 @register_lowering("Slice")
 def _lower_slice(node, inputs, params, ctx):
     x = inputs[0]

@@ -183,7 +183,7 @@ def tune_regions(graph, dtype: str, quant, iters: int = 15):
 
 _TUNABLE_FLAGS = ("merge_siblings", "merge_concats", "int8_grouped",
                   "int8_requant_ops", "nms_blocked", "roipool_table",
-                  "lrn_band", "shuffle_matmul")
+                  "lrn_band", "shuffle_matmul", "concat_dus")
 
 
 def tune_flags(graph, dtype: str, quant, rounds: int = 5, iters: int = 20,
@@ -222,7 +222,8 @@ def tune_flags(graph, dtype: str, quant, rounds: int = 5, iters: int = 20,
     relevant = {"nms_blocked": {"Proposal", "DetectionOutput"},
                 "roipool_table": {"ROIPooling"},
                 "lrn_band": {"LRN"},
-                "shuffle_matmul": {"ShuffleChannel"}}
+                "shuffle_matmul": {"ShuffleChannel"},
+                "concat_dus": {"Concat"}}
     variants = [("base", base_cfg)]
     for flag in _TUNABLE_FLAGS:
         need = relevant.get(flag)
