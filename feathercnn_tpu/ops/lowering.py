@@ -1153,9 +1153,20 @@ def _lower_fused_chain(node, inputs, params, ctx):
 def _lower_pool(node, inputs, params, ctx):
     x = inputs[0]
     n, h, w, c = x.shape
+    # Requantizing AVE pool (quant/rewrite.py): average the raw int8
+    # grid values in f32 and fold x_scale/y_scale into one multiply —
+    # avg(s*q) = s*avg(q), so the edge stays 1 byte/elem both sides.
+    q = ctx.qinfo(node)
+    rq = (q or {}).get("requant_int8")
+
+    def _requant(avg_f32):
+        s = q["x_scale"] / q["y_scale"]
+        return jnp.clip(jnp.round(avg_f32 * s), -127, 127).astype(jnp.int8)
+
     if node.attrs.get("global_pooling", False):
         if node.attrs.get("pool", "MAX") == "AVE":
-            return [jnp.mean(x, axis=(1, 2), keepdims=True)]
+            m = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+            return [_requant(m) if rq else m.astype(x.dtype)]
         return [jnp.max(x, axis=(1, 2), keepdims=True)]
 
     kh = node.attrs.get("kernel_h", node.attrs.get("kernel_size"))
@@ -1201,6 +1212,8 @@ def _lower_pool(node, inputs, params, ctx):
     ch = counts(h, kh, sh, ph, oh)
     cw = counts(w, kw, sw, pw, ow)
     denom = jnp.asarray(np.outer(ch, cw))[None, :, :, None]
+    if rq:
+        return [_requant(y / denom)]
     return [(y / denom).astype(x.dtype)]
 
 

@@ -52,6 +52,12 @@ def calibrate(graph, batches: Iterable, method: str = "percentile",
     extra_values = [i for n in eng.graph.nodes
                     if n.op in ("Eltwise", "Concat", "Scale", "LRN")
                     for i in n.inputs]
+    # Windowed AVE pool inputs: the requantizing pool (requant_int8)
+    # needs its input's value scale.
+    extra_values += [n.inputs[0] for n in eng.graph.nodes
+                     if n.op == "Pooling"
+                     and n.attrs.get("pool", "MAX") == "AVE"
+                     and not n.attrs.get("global_pooling", False)]
     # Axpy's two big operands (x, y) — the gate (inputs[0]) stays float
     # (quant/rewrite.py axpy_int8).
     extra_values += [i for n in eng.graph.nodes if n.op == "Axpy"

@@ -147,6 +147,10 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False,
         if c.op in ("Scale", "LRN") and cinfo.get("requant_int8") \
                 and c.inputs[0] == value:
             return float(cinfo["x_scale"])
+        if c.op == "Pooling" and cinfo.get("requant_int8") \
+                and c.inputs[0] == value:
+            # requantizing AVE pool: dequant-average-requant in registers
+            return float(cinfo["x_scale"])
         if _transparent(c) and c.name not in denied:
             s = edge_scale.get(c.outputs[0])
             if s is not None and all(
@@ -230,6 +234,25 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False,
                 # passthrough proven impossible — fall back to the
                 # requantizing concat (each input at its own scale)
                 _try_concat_int8(n)
+            elif (n.op == "Pooling"
+                  and n.attrs.get("pool", "MAX") == "AVE"
+                  and not n.attrs.get("global_pooling", False)
+                  and requant_ops):
+                # AVE pooling doesn't commute with the int8 round (MAX
+                # does), but it CAN requantize: avg(s*q) = s*avg(q), so
+                # the lowering averages the raw grid values and folds
+                # x_scale/y_scale into one multiply — int8 in, int8 out,
+                # everything XLA-fused.  Covers ShuffleNet-v1 shortcut
+                # pools, DenseNet transitions, Inception pool branches.
+                # GLOBAL pools stay float: their 1x1 outputs carry no
+                # bytes worth saving, and SE squeeze gates measurably
+                # lose accuracy when their pooled input requantizes.
+                xs = value_scales.get(n.inputs[0])
+                y_scale = _edge_scale_for(n.outputs[0])
+                if xs is not None and y_scale is not None:
+                    qmeta[n.name] = {"requant_int8": True,
+                                     "x_scale": float(xs),
+                                     "y_scale": float(y_scale)}
             elif n.op in ("Scale", "LRN") and requant_ops \
                     and len(n.inputs) == 1:
                 # two-bottom Scale (runtime scaler, SE-style) stays float

@@ -313,14 +313,50 @@ def test_int8_edges_through_lrn(rng):
     assert _cosine(ref, out) > 0.997
 
 
+def test_int8_edges_through_ave_pool(rng):
+    """Windowed AVE pooling requantizes (quant/rewrite.py):
+    avg(s*q) = s*avg(q), so the ShuffleNet-shortcut /
+    DenseNet-transition pattern conv -> AVE pool -> conv keeps 1-byte
+    edges on both sides.  GLOBAL pools stay float (1x1 outputs, SE-gate
+    accuracy); MAX stays passthrough."""
+    b = GraphBuilder("avenet", seed=43)
+    x = b.input("data", (2, 16, 16, 8))
+    y = b.conv("stem", x, 16, 3, pad=1, relu=True)
+    y = b.pool("tpool", y, 3, 2, mode="AVE")
+    y = b.conv("mid", y, 16, 1, relu=True)
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 10)
+    g = b.finish([y])
+    xv = rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    calibrate(g, [xv], method="max")
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 interpret=True,
+                                 algo_overrides=(("*", "xla"),)))
+    qm = eng.graph.meta["quant"]
+    assert qm["stem"].get("emit_int8")
+    assert qm.get("tpool", {}).get("requant_int8")
+    assert not qm.get("gap", {}).get("requant_int8")
+    out = np.asarray(eng(xv))
+    assert _cosine(ref, out) > 0.997
+    # requant edges off -> pools unmarked, conv input edge stays float
+    g2 = b.finish([y])
+    g2.meta.update({k: g.meta[k] for k in ("act_scales", "value_scales")})
+    eng2 = Engine(g2, EngineConfig(backend="pallas", quant="w8a8",
+                                   interpret=True, int8_requant_ops=False,
+                                   algo_overrides=(("*", "xla"),)))
+    qm2 = eng2.graph.meta["quant"]
+    assert not qm2.get("tpool", {}).get("requant_int8")
+
+
 def test_baked_config_overrides(rng):
     """graph.meta['config_overrides'] supplies measured per-model config
     defaults; explicit user settings win."""
     from feathercnn_tpu.models import googlenet
     g = googlenet(batch=1, with_softmax=False)
-    assert g.meta["config_overrides"] == {"int8_requant_ops": False}
+    assert g.meta["config_overrides"] == {"merge_siblings": False}
     eng = Engine(g, EngineConfig())
-    assert eng.config.int8_requant_ops is False     # baked applies
+    assert eng.config.merge_siblings is False       # baked applies
     # a field the bake doesn't name keeps the user/default value
     assert eng.config.int8_grouped is True
     # an explicit NON-default user value always wins over a bake
