@@ -320,9 +320,14 @@ def shufflenet_v2(batch: int = 1, seed: int = 0, width: str = "1.0x",
     if with_softmax:
         x = b.softmax("prob", x)
     g = b.finish([x])
-    # same profile as v1: tiny grouped/depthwise channels — keep those
-    # edges bf16 (measured family behavior, BASELINE.md)
-    g.meta["config_overrides"] = {"int8_grouped": False}
+    # Measured on v5e (BASELINE.md): int8_grouped off like v1 (tiny
+    # grouped/depthwise channels); shuffle_matmul ON is +53% paired
+    # (111.0k vs 71.9k img/s w8a8 b128) — v2's shuffles run on the FULL
+    # unit output (116-464 lanes), where the one-hot permutation matmul
+    # beats the sub-128-lane relayout.  (v1's shuffles sit on 60-channel
+    # mid tensors: measured -2.2%, stays off there.)
+    g.meta["config_overrides"] = {"int8_grouped": False,
+                                  "shuffle_matmul": True}
     return g
 
 
