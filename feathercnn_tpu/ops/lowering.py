@@ -1510,6 +1510,34 @@ def _lower_slice(node, inputs, params, ctx):
     if not points:
         k = len(node.outputs)
         points = [total // k * i for i in range(1, k)]
+    if (ctx.config.shuffle_matmul and axis == x.ndim - 1
+            and any(p % 128 for p in points)):
+        # Channel slices at sub-128-lane offsets relayout (ShuffleNet-
+        # v2's half-split at C/2=58); under shuffle_matmul those pieces
+        # run as selection matmuls on the MXU instead — exact (one
+        # nonzero per column), same as the ShuffleChannel form.  The
+        # offset-0 piece keeps the plain (free, contiguous) slice.
+        bounds = [0] + points + [total]
+        outs = []
+        x2 = x.reshape(-1, total)
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            if lo % 128 == 0:
+                outs.append(jax.lax.slice_in_dim(x, lo, hi,
+                                                 axis=x.ndim - 1))
+                continue
+            sel = np.zeros((total, hi - lo), np.float32)
+            sel[np.arange(lo, hi), np.arange(hi - lo)] = 1.0
+            shp = x.shape[:-1] + (hi - lo,)
+            if x.dtype == jnp.int8:
+                y = jnp.dot(x2.astype(jnp.bfloat16),
+                            jnp.asarray(sel, jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                outs.append(y.astype(jnp.int8).reshape(shp))
+            else:
+                y = jnp.dot(x2, jnp.asarray(sel, x.dtype),
+                            precision=jax.lax.Precision.HIGHEST)
+                outs.append(y.astype(x.dtype).reshape(shp))
+        return outs
     return list(jnp.split(x, points, axis=axis))
 
 

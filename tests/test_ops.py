@@ -263,6 +263,26 @@ def test_shuffle_matmul_matches_relayout(rng):
     np.testing.assert_array_equal(np.asarray(y), xi[..., perm])
 
 
+def test_slice_matmul_matches_split(rng):
+    """Under shuffle_matmul, sub-lane channel Slice pieces lower as
+    selection matmuls — must equal jnp.split exactly; lane-aligned
+    offsets keep the plain slice."""
+    from feathercnn_tpu import EngineConfig
+    x = rng.normal(size=(2, 4, 4, 116)).astype(np.float32)
+    g = Graph("t", {"x": TensorSpec(x.shape)}, ["a", "b"],
+              [Node("n", "Slice", ["x"], ["a", "b"], {"axis": -1})])
+    e1 = Engine(g, EngineConfig(shuffle_matmul=True),
+                optimize_graph=False)
+    e2 = Engine(g, EngineConfig(shuffle_matmul=False),
+                optimize_graph=False)
+    o1 = e1.run({"x": x})
+    o2 = e2.run({"x": x})
+    for k in ("a", "b"):
+        np.testing.assert_array_equal(np.asarray(o1[k]),
+                                      np.asarray(o2[k]))
+    assert np.asarray(o1["a"]).shape == (2, 4, 4, 58)
+
+
 def test_threshold_layer(rng):
     x = rng.normal(size=(2, 3, 3, 5)).astype(np.float32)
     y = _run_single("Threshold", {"threshold": 0.25}, x)
