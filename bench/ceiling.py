@@ -161,7 +161,14 @@ def node_floor_s(graph, n, quant, peak):
     in_spec = graph.specs[n.inputs[0]]
     out_spec = graph.specs[n.outputs[0]]
     wbytes = sum(graph.params[p].size * w_b for p in n.params[:1])
-    bytes_moved = in_spec.size * act_b + out_spec.size * act_b + wbytes
+    in_b = act_b
+    qinfo = (graph.meta.get("quant") or {}).get(n.name) or {}
+    if "input_scale" in qinfo and n.inputs[0] in graph.inputs:
+        # fp-activation stem (the measured-best config for every
+        # C_in<=8 stem): the graph input it reads is f32 — any
+        # algorithm must move those 4 bytes/elem, so the floor must too.
+        in_b = 4
+    bytes_moved = in_spec.size * in_b + out_spec.size * act_b + wbytes
     return max(fl / peak, bytes_moved / HBM_BW), fl / peak
 
 
