@@ -1160,7 +1160,12 @@ def _lower_pool(node, inputs, params, ctx):
     rq = (q or {}).get("requant_int8")
 
     def _requant(avg_f32):
-        s = q["x_scale"] / q["y_scale"]
+        # Mirror the Scale/LRN requant guard: x_scale only applies when
+        # the producer actually emitted int8 — a sibling consumer that
+        # rejects int8 (e.g. grouped conv with int8_grouped=False) can
+        # demote the producer to float, in which case the average is
+        # already real-valued and only y_scale maps it onto the out grid.
+        s = (q["x_scale"] if x.dtype == jnp.int8 else 1.0) / q["y_scale"]
         return jnp.clip(jnp.round(avg_f32 * s), -127, 127).astype(jnp.int8)
 
     if node.attrs.get("global_pooling", False):

@@ -140,13 +140,23 @@ def dus_concat_ladders(graph: Graph, min_len: int = 3) -> int:
             if quantized:
                 info = infos[idx]
                 in_vals = c.inputs if idx == 0 else c.inputs[1:]
+                # Arrival grid per part (ADVICE r3): a concat_int8 member
+                # takes each part at its own calibrated value scale, but a
+                # passthrough_int8 member's parts arrive on the member's
+                # SHARED edge grid (its y_scale) — the fixpoint in
+                # quant/rewrite.py guarantees every producer emits at that
+                # scale, which may differ from the part's calibrated one.
+                if info.get("concat_int8"):
+                    in_sc = [(float(value_scales[v])
+                              if v in value_scales else None)
+                             for v in in_vals]
+                else:       # passthrough_int8
+                    ms = float(info["y_scale"])
+                    in_sc = [ms for _ in in_vals]
                 qmeta[mark.name] = {
                     "ladder_int8": True,
                     "y_scale": float(s_buf),
-                    "in_scales": [
-                        (float(value_scales[v])
-                         if v in value_scales else None)
-                        for v in in_vals],
+                    "in_scales": in_sc,
                 }
             # view: only when someone outside the chain reads c's output
             ext = [u for u in consumers.get(c.outputs[0], [])

@@ -110,6 +110,41 @@ def test_ladder_mixed_quant_chain_kept(rng):
     assert n == 0
 
 
+def test_ladder_densenet_w8a8_cosine(rng):
+    """ADVICE r3: real DenseNet chains MIX concat_int8 and
+    passthrough_int8 members; passthrough members' parts arrive on the
+    member's shared edge grid (its y_scale), not at the parts' own
+    calibrated scales — the ladder bookkeeping must record the actual
+    arrival grid or early-chain values rescale wrongly (0.878 -> 0.692
+    cosine vs fp32 pre-fix).  Gate vs the fp32 oracle: the ladder
+    quantizes each part ONCE onto the final grid, so it must be at least
+    as accurate as the plain-concat w8a8 engine (which compounds a
+    rescale-round per chain concat — measured 0.9998 vs 0.852 here)."""
+    from feathercnn_tpu.quant import calibrate
+    from feathercnn_tpu.models import MODEL_BUILDERS
+    x = rng.normal(size=(1, 224, 224, 3)).astype(np.float32)
+    fp = np.asarray(Engine(
+        MODEL_BUILDERS["densenet121"](batch=1, with_softmax=False))(x)
+    ).ravel()
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)
+                              + 1e-12))
+
+    outs = {}
+    for flag in (False, True):
+        g = MODEL_BUILDERS["densenet121"](batch=1, with_softmax=False)
+        calibrate(g, [x], method="max", config=EngineConfig())
+        eng = Engine(g, EngineConfig(quant="w8a8", concat_dus=flag))
+        if flag:
+            assert any(n.op == "LadderAppend" for n in eng.graph.nodes)
+        outs[flag] = np.asarray(eng(x)).ravel()
+    c_plain, c_ladder = cos(fp, outs[False]), cos(fp, outs[True])
+    assert c_ladder >= c_plain - 0.01, (c_plain, c_ladder)
+    assert c_ladder > 0.99, c_ladder
+    assert np.argmax(outs[True]) == np.argmax(fp)
+
+
 def test_ladder_densenet_whole_model_fp32(rng):
     """Whole DenseNet-121 (the real ladder shape: 6/12/24/16-layer
     blocks) matches with the rewrite on, fp32 CPU (tolerance covers XLA

@@ -349,6 +349,37 @@ def test_int8_edges_through_ave_pool(rng):
     assert not qm2.get("tpool", {}).get("requant_int8")
 
 
+def test_requant_pool_float_producer(rng):
+    """ADVICE r3 (high): a requant_int8-marked AVE pool whose producer is
+    demoted to FLOAT emission (here by a sibling depthwise consumer under
+    int8_grouped=False) must not apply x_scale to real-valued averages —
+    the requant guard keys on the runtime dtype like Scale/LRN do."""
+    b = GraphBuilder("poolfloat", seed=47)
+    x = b.input("data", (2, 16, 16, 8))
+    y = b.conv("stem", x, 16, 3, pad=1, relu=True)
+    # sibling consumer that rejects int8 edges when int8_grouped=False:
+    # demotes stem to float emission while the pool stays marked
+    z = b.dwconv("dw", y, 3, pad=1, relu=True)
+    z = b.pool("gapz", z, 0, mode="AVE", global_pooling=True)
+    p = b.pool("tpool", y, 3, 2, mode="AVE")
+    p = b.conv("mid", p, 16, 1, relu=True)
+    p = b.pool("gapp", p, 0, mode="AVE", global_pooling=True)
+    y = b.concat("cat", [z, p])
+    y = b.fc("fc", y, 10)
+    g = b.finish([y])
+    xv = rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    calibrate(g, [xv], method="max")
+    eng = Engine(g, EngineConfig(backend="pallas", quant="w8a8",
+                                 interpret=True, int8_grouped=False,
+                                 algo_overrides=(("*", "xla"),)))
+    qm = eng.graph.meta["quant"]
+    assert not qm["stem"].get("emit_int8")          # demoted by dw
+    assert qm.get("tpool", {}).get("requant_int8")  # ...but pool marked
+    out = np.asarray(eng(xv))
+    assert _cosine(ref, out) > 0.997
+
+
 def test_baked_config_overrides(rng):
     """graph.meta['config_overrides'] supplies measured per-model config
     defaults; explicit user settings win."""

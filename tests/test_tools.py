@@ -158,3 +158,57 @@ def test_summary(rng):
     assert 7.0 < gflops < 8.5, total
     short = eng.summary(top=5)
     assert len(short.splitlines()) == 5 + 2  # header + 5 rows + total
+
+
+def test_tune_flags_numerics_gate(rng, monkeypatch):
+    """ADVICE r3: tune_flags must not bake a grid-moving flag flip
+    (concat_dus at minimum) on speed alone — the flipped engine's
+    cosine vs the fp32 oracle gates the decision.  Force every flip to
+    'win' on time by stubbing slope_time, corrupt the concat_dus
+    variant's outputs, and assert the gate rejects it while honest
+    variants still land."""
+    import feathercnn_tpu
+    import tools.autotune as at
+
+    b = GraphBuilder("gate", seed=11)
+    x = b.input("data", (1, 8, 8, 4))
+    y = b.conv("stem", x, 8, 3, pad=1, relu=True)
+    for i in range(3):
+        z = b.conv(f"l{i}", y, 8, 1, relu=True)
+        y = b.concat(f"cat{i}", [y, z])
+    y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+    y = b.fc("fc", y, 10)
+    g = b.finish([y])
+    from feathercnn_tpu.quant import calibrate
+    xv = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+    calibrate(g, [xv], method="max", config=EngineConfig())
+
+    def fake_slope(loop, params, xd, iters=20):
+        return 1.0
+
+    monkeypatch.setattr("feathercnn_tpu.utils.timing.slope_time",
+                        fake_slope)
+
+    # honest numerics: with every flip "winning" on time (negative
+    # threshold), concat_dus passes the gate and lands
+    ov = at.tune_flags(g, "float32", "w8a8", rounds=1, iters=1,
+                       threshold=-0.5, interpret=True)
+    assert ov.get("concat_dus") is True, ov
+
+    # corrupted numerics: a concat_dus engine whose outputs are garbage
+    # must be rejected by the gate even though it "wins" on time
+    real_engine = feathercnn_tpu.Engine
+
+    class BrokenLadderEngine(real_engine):
+        def __call__(self, x):
+            out = super().__call__(x)
+            if self.config.concat_dus:
+                import jax.numpy as jnp
+                out = out + jnp.linspace(0.0, 100.0, out.size).reshape(
+                    out.shape).astype(out.dtype)
+            return out
+
+    monkeypatch.setattr(feathercnn_tpu, "Engine", BrokenLadderEngine)
+    ov2 = at.tune_flags(g, "float32", "w8a8", rounds=1, iters=1,
+                        threshold=-0.5, interpret=True)
+    assert "concat_dus" not in ov2, ov2

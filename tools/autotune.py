@@ -185,9 +185,19 @@ _TUNABLE_FLAGS = ("merge_siblings", "merge_concats", "int8_grouped",
                   "int8_requant_ops", "nms_blocked", "roipool_table",
                   "lrn_band", "shuffle_matmul", "concat_dus")
 
+# Flags whose flip moves values onto different quant grids (not just a
+# different schedule for the same arithmetic).  Under --flags these are
+# additionally gated on NUMERICS: the flipped engine's cosine vs the
+# fp32 oracle must not trail the baseline engine's by more than
+# _NUMERIC_MARGIN, or the flip is rejected no matter how fast it is
+# (ADVICE r3: a broken int8 path must not get auto-baked silently).
+_NUMERIC_FLAGS = ("concat_dus", "int8_requant_ops", "int8_grouped",
+                  "merge_concats")
+_NUMERIC_MARGIN = 0.01
+
 
 def tune_flags(graph, dtype: str, quant, rounds: int = 5, iters: int = 20,
-               threshold: float = 0.01):
+               threshold: float = 0.01, interpret: bool = False):
     """Whole-model paired A/B of the boolean EngineConfig flags.
 
     Compiles the baseline config plus one engine per flipped flag, then
@@ -215,7 +225,8 @@ def tune_flags(graph, dtype: str, quant, rounds: int = 5, iters: int = 20,
 
     defaults = {f.name: f.default for f in dc.fields(EngineConfig)}
     base_cfg = EngineConfig(compute_dtype=dtype, backend="pallas",
-                            quant=quant, algo_overrides=(("*", "xla"),))
+                            quant=quant, interpret=interpret,
+                            algo_overrides=(("*", "xla"),))
     # flags that are structural no-ops on this graph would burn paired
     # rounds measuring noise — skip them
     ops = {n.op for n in graph.nodes}
@@ -232,14 +243,45 @@ def tune_flags(graph, dtype: str, quant, rounds: int = 5, iters: int = 20,
         variants.append((flag, base_cfg.replace(
             **{flag: not defaults[flag]})))
 
+    # Numerics gate (ADVICE r3): for grid-moving flags, compare each
+    # engine's output against the fp32 oracle on one fixed input.  Only
+    # meaningful for quantized single-input graphs without NMS heads
+    # (post-NMS rows are chaotic under near-tied random-weight scores —
+    # verify_tpu gates those models on pre-NMS tensors instead).
+    gate_numerics = (quant is not None and len(graph.inputs) == 1
+                     and not ({"Proposal", "DetectionOutput"} & ops))
+    x_gate = None
+    ref_out = None
+    if gate_numerics:
+        spec0 = next(iter(graph.inputs.values()))
+        x_gate = np.random.default_rng(0).normal(
+            size=spec0.shape).astype(np.float32)
+        g0 = copy.deepcopy(graph)
+        g0.meta.pop("config_overrides", None)
+        ref_out = np.asarray(
+            Engine(g0, EngineConfig(compute_dtype=dtype))(x_gate)).ravel()
+
+    def _cos_vs_ref(eng):
+        out = np.asarray(eng(x_gate)).ravel().astype(np.float64)
+        r = ref_out.astype(np.float64)
+        return float(r @ out / (np.linalg.norm(r) * np.linalg.norm(out)
+                                + 1e-12))
+
     loops = {}
+    cosines = {}
     for name, cfg in variants:
         g = copy.deepcopy(graph)
         g.meta.pop("config_overrides", None)   # measure from scratch
-        loop, params, xd = engine_loop(Engine(g, cfg))
+        eng = Engine(g, cfg)
+        if gate_numerics and (name == "base" or name in _NUMERIC_FLAGS):
+            cosines[name] = _cos_vs_ref(eng)
+        loop, params, xd = engine_loop(eng)
         float(loop(params, xd, jnp.int32(3)))  # compile
         loops[name] = (loop, params, xd)
-        print(f"compiled {name}", file=sys.stderr, flush=True)
+        print(f"compiled {name}"
+              + (f" (cosine {cosines[name]:.5f})"
+                 if name in cosines else ""),
+              file=sys.stderr, flush=True)
 
     times = {name: [] for name, _ in variants}
     for r in range(rounds):
@@ -258,6 +300,13 @@ def tune_flags(graph, dtype: str, quant, rounds: int = 5, iters: int = 20,
         print(f"{flag}={flipped}: {gain*+100:+.1f}% vs default",
               file=sys.stderr, flush=True)
         if gain > threshold:
+            if flag in cosines and \
+                    cosines[flag] < cosines["base"] - _NUMERIC_MARGIN:
+                print(f"{flag}={flipped}: REJECTED by numerics gate "
+                      f"(cosine {cosines[flag]:.5f} vs base "
+                      f"{cosines['base']:.5f})", file=sys.stderr,
+                      flush=True)
+                continue
             overrides[flag] = flipped
     return overrides
 
