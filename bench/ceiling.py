@@ -128,7 +128,7 @@ def cuts_from_blobs(graph, blobs):
 # physics floor
 # ----------------------------------------------------------------------
 
-def node_floor_s(graph, n, quant, peak):
+def node_floor_s(graph, n, quant, peak, concat_floor=False):
     """Lower-bound seconds for one node.
 
     Conv/FC: max(FLOPs/peak, activation+weight bytes / HBM bw).
@@ -138,9 +138,22 @@ def node_floor_s(graph, n, quant, peak):
     reads the shortcut), ShuffleChannel/LRN are real relayouts.  Pure
     elementwise (ReLU/Scale/BN/...) and Concat (alias-able into slices)
     count zero so the floor stays a floor.
+
+    ``concat_floor=True`` is the CORRECTED floor for concat-ladder
+    families (DenseNet): on this backend every formulation that avoids
+    materializing the running concat measured a loss (DUS ladders -41%;
+    per-part matmul heads materialize equal-magnitude partial sums;
+    Pallas heads pay the 1.2-2.8 ms custom-call boundary tax — ROADMAP
+    r3/r4), so the concat's input read + output write are counted as
+    mandatory bytes and the family's SoL is judged against physics it
+    can actually reach.
     """
     from feathercnn_tpu.utils.summary import node_flops
     act_b = 1 if quant == "w8a8" else 2
+    if n.op == "Concat" and concat_floor:
+        b = (sum(graph.specs[i].size for i in n.inputs)
+             + graph.specs[n.outputs[0]].size) * act_b
+        return b / HBM_BW, 0.0
     if n.op == "Pooling":
         b = (graph.specs[n.inputs[0]].size
              + graph.specs[n.outputs[0]].size) * act_b
@@ -189,6 +202,11 @@ def main():
                          "thinned evenly, keeping the last) — each prefix "
                          "is a full XLA compile through the remote helper")
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--concat-floor", action="store_true",
+                    help="corrected floor: count Concat input-read + "
+                         "output-write bytes as mandatory (concat-ladder "
+                         "families where every avoidance formulation "
+                         "measured a loss on this backend)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.quant in ("none", "None"):
@@ -286,7 +304,8 @@ def main():
         floor = comp = gf = 0.0
         nconv = 0
         for n in seg_nodes:
-            f, c = node_floor_s(eng.graph, n, args.quant, peak)
+            f, c = node_floor_s(eng.graph, n, args.quant, peak,
+                                concat_floor=args.concat_floor)
             floor += f
             comp += c
             if c > 0:
@@ -320,6 +339,7 @@ def main():
         "sol_vs_compute": round(compute_ms / total_ms, 3),
         "sol_vs_physics": round(floor_ms / total_ms, 3),
         "iters": iters, "rounds": args.rounds,
+        "concat_floor": bool(args.concat_floor),
         "segments": rows,
     }
     log(f"\n{args.model} b{args.batch} {args.quant}: whole={total_ms:.2f} ms "
@@ -335,7 +355,8 @@ def main():
     path = args.out or os.path.join(
         os.path.dirname(__file__), "results",
         f"ceiling_{args.model}_{args.quant or args.dtype}"
-        f"_b{args.batch}_{args.granularity}.json")
+        f"_b{args.batch}_{args.granularity}"
+        f"{'_cfloor' if args.concat_floor else ''}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"model": args.model,

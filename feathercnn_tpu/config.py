@@ -66,6 +66,14 @@ class EngineConfig:
     # one HBM read of the shared input instead of one per sibling.
     merge_siblings: bool = True
 
+    # Collapse back-to-back per-channel affines into one Scale
+    # (passes.fold_scale_chain): DenseNet-style deploys emit BN->Scale
+    # pairs after every Concat; folding halves those elementwise passes
+    # and removes one int8 requant round trip per pair.  Exact to f32
+    # rounding; numerics only improve under w8a8.  Off = the unfused
+    # oracle (A/B via batch_sweep --variants no-fold_scale_chains).
+    fold_scale_chains: bool = True
+
     # Horizontal fusion, Concat form: same-input convs feeding one channel
     # Concat become ONE conv (smaller kernels zero-padded up to the
     # group's max, Concat deleted) — passes.merge_concat_siblings.  The
@@ -82,6 +90,19 @@ class EngineConfig:
     # than bf16 (measured), and first-layer fp activations are standard
     # int8-accuracy practice.
     fp_act_layers: Tuple[str, ...] = ()
+
+    # Per-layer quant-mode override: name -> "fp_act" | "fp".
+    #   "fp_act" — this layer's INPUT activations stay float (weights
+    #     still int8, dequant in epilogue); same effect as listing it in
+    #     fp_act_layers.
+    #   "fp"     — full float edges: input float AND the layer never
+    #     emits/accepts int8 in any role (conv emit, Eltwise/Axpy/
+    #     Concat/Scale/LRN/pool marks).  Use to flip a specific layer or
+    #     stage back to bf16 where the roofline table shows XLA's int8
+    #     emitter far below the bf16 rate (e.g. grouped convs at
+    #     ResNeXt stage-2 shapes) without giving up int8 elsewhere.
+    # Mirrors algo_overrides; consumed by quant/rewrite.py.
+    quant_overrides: Tuple[Tuple[str, str], ...] = ()
 
     # w8a8: enable the requantizing int8 edge types — mixed-scale Concat
     # (concat_int8) and Scale/LRN dequant->op->requant (requant_int8).
@@ -104,13 +125,27 @@ class EngineConfig:
     int8_axpy: bool = True
 
     # Detection heads: blocked/tiled greedy NMS (kernels/nms.py
-    # greedy_nms_blocked) for large candidate sets — streams (1024, K)
-    # IoU strips once instead of sweeping a K x K matrix to fixpoint.
-    # Exact greedy either way; kicks in when K > 2048 (Proposal's
-    # pre_nms_top_n = 6000 qualifies, DetectionOutput's 400 never does).
+    # greedy_nms_blocked) — streams (block, K) IoU strips exactly once,
+    # each fused into its consuming reduction, instead of materializing
+    # a K x K matrix and re-reading it every fixpoint sweep.  Exact
+    # greedy either way.  Proposal uses block=1024 on its 6000-candidate
+    # set; DetectionOutput uses block=128 on its C'-way-batched
+    # per-class sets (the fixpoint form's (N, C', 400, 400) matrices
+    # were ~1.6 GB at SSD b128 — the zoo's largest measured headroom).
     # Off = always the fixpoint form (A/B via batch_sweep --variants
     # no-nms_blocked).
     nms_blocked: bool = True
+
+    # DetectionOutput per-class candidate selection via exact radix
+    # select on the f32 score bits (31 counting passes find the K-th
+    # largest value exactly; membership compacts by INDEX, no sort) —
+    # approx_max_k degenerates when K is a large fraction of the row
+    # (SSD's K=400 of P=1917: measured 5.7 -> 3.2 ms for the whole head,
+    # bench/det_head_ablate.py b128).  Index-ordered candidates then
+    # take the score-ranked bitpack NMS (kernels/nms.py scores= mode) —
+    # exact greedy, ties by prior index (Caffe's unstable sort resolves
+    # ties arbitrarily too).  Off = the approx_max_k + sorted-NMS path.
+    topk_radix: bool = True
 
     # ROIPooling via a dyadic range-max pyramid (4 gathered rows per bin)
     # instead of full-map membership-mask reductions — exact either way
@@ -193,11 +228,11 @@ class EngineConfig:
             if isinstance(v, str):
                 v = (v,)
             d["fp_act_layers"] = tuple(v or ())
-        if isinstance(d.get("algo_overrides"), dict):
-            d["algo_overrides"] = tuple(d["algo_overrides"].items())
-        elif d.get("algo_overrides"):
-            d["algo_overrides"] = tuple(
-                tuple(kv) for kv in d["algo_overrides"])
+        for fld in ("algo_overrides", "quant_overrides"):
+            if isinstance(d.get(fld), dict):
+                d[fld] = tuple(d[fld].items())
+            elif d.get(fld):
+                d[fld] = tuple(tuple(kv) for kv in d[fld])
         if isinstance(d.get("sharding"), dict):
             from .parallel.mesh import ShardingConfig
             s = dict(d["sharding"])
@@ -212,6 +247,7 @@ class EngineConfig:
         import json
         d = dc.asdict(self)
         d["algo_overrides"] = dict(self.algo_overrides)
+        d["quant_overrides"] = dict(self.quant_overrides)
         if self.sharding is not None:
             d["sharding"] = dc.asdict(self.sharding)
         return json.dumps(d, indent=1)

@@ -52,14 +52,17 @@ class Engine:
         if optimize_graph:
             optimize(self.graph,
                      merge_siblings=self.config.merge_siblings,
-                     merge_concats=self.config.merge_concats)
+                     merge_concats=self.config.merge_concats,
+                     fold_scale_chains=self.config.fold_scale_chains)
         if self.config.quant:
             from .quant.rewrite import quantize_graph
             quantize_graph(self.graph, self.config.quant,
                            int8_grouped=self.config.int8_grouped,
                            requant_ops=self.config.int8_requant_ops,
                            int8_axpy=self.config.int8_axpy,
-                           fp_act_layers=self.config.fp_act_layers)
+                           fp_act_layers=self.config.fp_act_layers,
+                           quant_overrides=dict(
+                               self.config.quant_overrides))
         if self.config.concat_dus:
             # after the quant rewrite: the ladder pass reads the concat
             # int8 marks to unify the chain onto one buffer scale

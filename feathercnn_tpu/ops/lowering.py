@@ -206,6 +206,22 @@ def _lower_conv(node, inputs, params, ctx):
         return [_constrain_batch_only(y, ctx) if grouped_fix else y]
 
     x, w = _dequant_for_oracle(x, w, ctx.qinfo(node), ctx)
+    segs = node.attrs.get("act_segments")
+    if (segs is None and group == 1 and dil == 1 and w.ndim == 4
+            and kh == kw == 1 and sh == sw == 1 and ph == pw == 0
+            and _ring_tp_ok(ctx, x.shape[-1], w.shape[-1])):
+        # TP pointwise conv via the ring-pipelined collective matmul: a
+        # 1x1 conv IS the FC GEMM reshaped, so the same w_sharded_out
+        # (Megatron column-parallel) form applies — the K-chunk ring
+        # replaces GSPMD's blocking all-gather of the channel-sharded
+        # input (SURVEY.md §2.5 overlap; VERDICT r3 task 8).  M = N*H*W
+        # keeps the DP batch sharding via batch_axis (N is M's major
+        # dim, so the merged sharding is representable).
+        nb, hh, wb, cc = x.shape
+        y = _ring_tp_matmul(ctx, x.reshape(-1, cc), w.reshape(cc, -1),
+                            bias)
+        y = apply_activation(y, act)
+        return [y.astype(x.dtype).reshape(nb, hh, wb, -1)]
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(sh, sw),
@@ -508,33 +524,113 @@ def _lower_detection_output(node, inputs, params, ctx):
         return jnp.stack([cx - w / 2, cy - h / 2,
                           cx + w / 2, cy + h / 2], axis=-1)
 
-    from ..kernels.nms import greedy_nms_fixpoint
+    from ..kernels.nms import greedy_nms, greedy_nms_bitpack
+
+    # Per-class NMS runs C'-way (x N images) batched: the fixpoint form
+    # materializes (N, C', K, K) IoU/suppression matrices (~1.6 GB at
+    # SSD b128) and RE-READS them every sweep.  The blocked form streams
+    # (block, K) strips exactly once, each fused into its consuming
+    # reduction, so nothing K x K ever hits HBM.  Exact greedy either
+    # way (tests/test_kernels.py oracles).
+    det_block = 128 if ctx.config.nms_blocked else 0
+    # Candidate selection is the head's real cost (in-context ablation,
+    # bench/det_head_ablate.py b128 MobileNet-SSD: per-class
+    # approx_max_k 4.2 ms of the 5.6 ms head; NMS 0.8, gather ~0):
+    # K=400 of P=1917 is approx_max_k's degenerate regime.  topk_radix
+    # selects the SAME top-K set sort-free — exact radix select on the
+    # f32 score bits, membership compacted by prior index — and feeds
+    # the score-ranked bitpack NMS (rank from scores, ties by index).
+    use_radix = bool(getattr(ctx.config, "topk_radix", False))
 
     cls = np.asarray([c for c in range(num_classes) if c != bg])
 
-    def per_image(loc_i, conf_i):
+    def radix_slots(rows):
+        """Exact top-K membership of each row as compaction SLOTS:
+        (..., P) -> (..., P) int32 where the k-th member BY PRIOR INDEX
+        gets slot k and non-members get K.  t := max value with
+        count(>= t) >= K, found bit-by-bit on the f32 pattern (monotone
+        for non-negatives); membership = (> t) plus the first
+        K - n_above ties by index.
+
+        No sort, no scatter, no gather anywhere: downstream reads the
+        selection through generated one-hot (slot == k) operands fused
+        into an MXU contraction.  (A scatter-based compaction measured
+        a 23 ms blowup in-graph: every non-member aliases the same
+        spill slot, and XLA's safe scatter path serializes the
+        colliding writes — bench/det_head_ablate.py --live bisect.)"""
+        P_ = rows.shape[-1]
+        if K == P_:                     # everyone is a member
+            return jnp.broadcast_to(jnp.arange(P_), rows.shape)
+        keys = jax.lax.bitcast_convert_type(jnp.maximum(rows, 0.0),
+                                            jnp.int32)
+        t = jnp.zeros(keys.shape[:-1], jnp.int32)
+        for bit in range(30, -1, -1):       # scores <= 1.0 < 2.0: bit31
+            cand = t | (1 << bit)           # sign is never set either
+            cnt = jnp.sum(keys >= cand[..., None], axis=-1)
+            t = jnp.where(cnt >= K, cand, t)
+        above = keys > t[..., None]
+        n_above = jnp.sum(above, axis=-1)
+        eq = keys == t[..., None]
+        eq_rank = jnp.cumsum(eq, axis=-1) - 1
+        mem = above | (eq & (eq_rank < (K - n_above)[..., None]))
+        pos = jnp.cumsum(mem, axis=-1) - 1
+        return jnp.where(mem, pos, K)       # (..., P)
+
+    def per_image(loc_i, conf_i, slot=None):
         # per-class top-K: approx_max_k's partitioned reduction beats the
         # sort-based lax.top_k ~1.8x on TPU; recall_target=1.0 keeps it
-        # exact (scores bit-identical, tie order may differ)
-        sc, idx = jax.lax.approx_max_k(conf_i[:, cls].T, K,
-                                       recall_target=1.0)  # (C', K)
+        # exact (scores bit-identical, tie order may differ).  Under
+        # topk_radix, compaction slots arrive precomputed (batched
+        # radix select) and the one-hot comes from slot comparisons.
+        rows = conf_i[:, cls].T                            # (C', P)
+        if slot is None:
+            sc, idx = jax.lax.approx_max_k(rows, K,
+                                           recall_target=1.0)  # (C', K)
+            oh = jax.nn.one_hot(idx, P, dtype=jnp.float32)  # (C', K, P)
+        else:
+            oh = (slot[:, None, :]
+                  == jnp.arange(K)[None, :, None]).astype(jnp.float32)
+            sc = None
         # gather candidate boxes as a one-hot MXU matmul: 3x faster than
         # the gather engine at these shapes (0.4-1.0 vs 2.9 ms at b128);
-        # HIGHEST keeps it exact (1.0 * f32 splits reconstruct exactly)
-        oh = jax.nn.one_hot(idx, P, dtype=jnp.float32)     # (C', K, P)
+        # HIGHEST keeps it exact (1.0 * f32 splits reconstruct exactly).
+        # Under radix the scores ride the SAME contraction as a 5th
+        # payload column, so selection needs no gather of any kind.
         if share_loc:
             boxes = decode(loc_i[:, 0])         # (P, 4), class-shared
-            bx = jnp.dot(oh.reshape(-1, P), boxes,
-                         precision=jax.lax.Precision.HIGHEST) \
-                .reshape(sc.shape + (4,))       # (C', K, 4)
+            if sc is not None:
+                bx = jnp.dot(oh.reshape(-1, P), boxes,
+                             precision=jax.lax.Precision.HIGHEST) \
+                    .reshape(sc.shape + (4,))   # (C', K, 4)
+            else:
+                payload = jnp.concatenate(
+                    [jnp.broadcast_to(boxes, rows.shape + (4,)),
+                     rows[..., None]], axis=-1)            # (C', P, 5)
+                out = jnp.einsum("ckp,cpf->ckf", oh, payload,
+                                 precision=jax.lax.Precision.HIGHEST)
+                bx, sc = out[..., :4], out[..., 4]
         else:
             # per-class regressed boxes: decode each class's deltas,
             # then gather per class (batched one-hot matmul)
             boxes_c = jax.vmap(decode)(
                 loc_i[:, cls].transpose(1, 0, 2))          # (C', P, 4)
-            bx = jnp.einsum("ckp,cpf->ckf", oh, boxes_c,
-                            precision=jax.lax.Precision.HIGHEST)
-        keep = greedy_nms_fixpoint(bx, sc > conf_thresh, nms_thresh)
+            if sc is not None:
+                bx = jnp.einsum("ckp,cpf->ckf", oh, boxes_c,
+                                precision=jax.lax.Precision.HIGHEST)
+            else:
+                payload = jnp.concatenate(
+                    [boxes_c, rows[..., None]], axis=-1)   # (C', P, 5)
+                out = jnp.einsum("ckp,cpf->ckf", oh, payload,
+                                 precision=jax.lax.Precision.HIGHEST)
+                bx, sc = out[..., :4], out[..., 4]
+        if use_radix:
+            # index-ordered candidates: greedy rank comes from the
+            # scores (ties by prior index) — no sort anywhere
+            keep = greedy_nms_bitpack(bx, sc > conf_thresh, nms_thresh,
+                                      scores=sc)
+        else:
+            keep = greedy_nms(bx, sc > conf_thresh, nms_thresh,
+                              block=det_block)
         sc = jnp.where(keep, sc, -1.0)
         lb = jnp.broadcast_to(
             jnp.asarray(cls, jnp.float32)[:, None], sc.shape)
@@ -555,7 +651,12 @@ def _lower_detection_output(node, inputs, params, ctx):
                                            jnp.float32), (pad, 1))])
         return row                              # (keep_top_k, 6)
 
-    rows = jax.vmap(per_image)(loc, conf)       # (N, keep, 6)
+    if use_radix:
+        slot_all = radix_slots(
+            jnp.transpose(conf[:, :, cls], (0, 2, 1)))   # (N, C', P)
+        rows = jax.vmap(per_image)(loc, conf, slot_all)
+    else:
+        rows = jax.vmap(per_image)(loc, conf)   # (N, keep, 6)
     img_id = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.float32)[:, None, None],
         (n, keep_top_k, 1))
@@ -987,6 +1088,44 @@ def _lower_crop(node, inputs, params, ctx):
     return [jax.lax.slice(x, starts, limits)]
 
 
+def _ring_tp_ok(ctx, k_dim: int, n_dim: int) -> bool:
+    """True when a (M, K) @ (K, N) contraction should take the
+    ring-pipelined collective matmul (ShardingConfig.ring_overlap):
+    channel-TP active, both the contraction and output dims divide the
+    model axis, and we're not in spatial mode (H-sharded activations
+    would be misdeclared by the ring's K-axis specs)."""
+    mesh = getattr(ctx, "mesh", None)
+    scfg = getattr(ctx.config, "sharding", None)
+    return (mesh is not None and scfg is not None
+            and getattr(scfg, "ring_overlap", False)
+            and scfg.shard_weights and not scfg.shard_spatial
+            and mesh.shape[scfg.model_axis] > 1
+            and k_dim % mesh.shape[scfg.model_axis] == 0
+            and n_dim % mesh.shape[scfg.model_axis] == 0)
+
+
+def _ring_tp_matmul(ctx, xm, wm, bias):
+    """(M, K) @ (K, N) via parallel/overlap.allgather_matmul in the
+    Megatron column-parallel (w_sharded_out) form: xm is constrained
+    onto its K axis (the previous column-parallel layer's output
+    sharding) so the K-chunk ring replaces GSPMD's blocking all-gather;
+    y returns sharded on N.  M's major dim keeps its DP sharding via
+    batch_axis.  Returns f32 (caller applies activation + dtype)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from ..parallel.overlap import allgather_matmul
+    mesh, scfg = ctx.mesh, ctx.config.sharding
+    ax = scfg.model_axis
+    bax = (scfg.data_axis if scfg.shard_batch
+           and mesh.shape[scfg.data_axis] > 1
+           and xm.shape[0] % mesh.shape[scfg.data_axis] == 0 else None)
+    xs = jax.lax.with_sharding_constraint(
+        xm, NamedSharding(mesh, PartitionSpec(bax, ax)))
+    b32 = bias.astype(jnp.float32) if bias is not None else None
+    return allgather_matmul(mesh, ax, xs.astype(jnp.float32),
+                            wm.astype(jnp.float32), bias=b32,
+                            w_sharded_out=True, batch_axis=bax)
+
+
 @register_lowering("InnerProduct")
 def _lower_fc(node, inputs, params, ctx):
     x = inputs[0]
@@ -1003,29 +1142,10 @@ def _lower_fc(node, inputs, params, ctx):
         return [kdispatch.fc_forward(node, x, w, bias, ctx)]
 
     x, w = _dequant_for_oracle(x, w, ctx.qinfo(node), ctx)
-    mesh = getattr(ctx, "mesh", None)
-    scfg = getattr(ctx.config, "sharding", None)
-    if (mesh is not None and scfg is not None
-            and getattr(scfg, "ring_overlap", False)
-            and scfg.shard_weights and not scfg.shard_spatial
-            and w.ndim == 2
-            and mesh.shape[scfg.model_axis] > 1
-            and x.shape[-1] % mesh.shape[scfg.model_axis] == 0
-            and w.shape[-1] % mesh.shape[scfg.model_axis] == 0):
-        # TP FC via the ring-pipelined collective matmul: constrain x
-        # onto its K axis (the previous column-parallel layer's output
-        # sharding) so the K-chunk ring replaces GSPMD's blocking
-        # all-gather; y comes back sharded on out-channels like the
-        # declarative path's.  SURVEY.md §2.5 overlap requirement.
-        from jax.sharding import NamedSharding, PartitionSpec
-        from ..parallel.overlap import allgather_matmul
-        ax = scfg.model_axis
-        xs = jax.lax.with_sharding_constraint(
-            x, NamedSharding(mesh, PartitionSpec(None, ax)))
-        b32 = bias.astype(jnp.float32) if bias is not None else None
-        y = allgather_matmul(mesh, ax, xs.astype(jnp.float32), w
-                             .astype(jnp.float32), bias=b32,
-                             w_sharded_out=True)
+    if w.ndim == 2 and _ring_tp_ok(ctx, x.shape[-1], w.shape[-1]):
+        # TP FC via the ring-pipelined collective matmul (SURVEY.md
+        # §2.5 overlap requirement); see _ring_tp_matmul.
+        y = _ring_tp_matmul(ctx, x, w, bias)
         return [apply_activation(y, act).astype(x.dtype)]
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if bias is not None:

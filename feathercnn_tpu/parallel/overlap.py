@@ -37,7 +37,8 @@ def _ring_perm(n, reverse=False):
 
 
 def allgather_matmul(mesh: Mesh, axis: str, x_sharded, w, bias=None,
-                     activation=None, w_sharded_out: bool = False):
+                     activation=None, w_sharded_out: bool = False,
+                     batch_axis=None):
     """x sharded on its last (K) axis over ``axis``; W (K, N) replicated.
     Returns the full y = x @ W on every device, with the K-chunk matmuls
     pipelined against the ring transfers.
@@ -47,6 +48,11 @@ def allgather_matmul(mesh: Mesh, axis: str, x_sharded, w, bias=None,
     OUTPUT axis (each device holds (K, N/n)), bias sharded likewise, and
     y returns sharded on N — the ring hides the x all-gather that GSPMD
     would otherwise emit as one blocking collective before the dot.
+
+    ``batch_axis``: mesh axis x's LEADING (M) dim is DP-sharded over;
+    the ring runs within each data-parallel group and M stays sharded
+    (without it, the shard_map specs would silently all-gather the DP
+    batch).  The engine passes its data axis whenever shard_batch holds.
     """
     n = mesh.shape[axis]
 
@@ -78,10 +84,12 @@ def allgather_matmul(mesh: Mesh, axis: str, x_sharded, w, bias=None,
 
     w_spec = P(None, axis) if w_sharded_out else P()
     b_spec = P(axis) if (w_sharded_out and bias is not None) else P()
+    x_spec = P(batch_axis, axis)
+    out_spec = P(batch_axis, axis) if w_sharded_out else P(batch_axis)
     return jax.shard_map(
         body, mesh=mesh, check_vma=False,
-        in_specs=(P(None, axis), w_spec, b_spec),
-        out_specs=P(None, axis) if w_sharded_out else P(),
+        in_specs=(x_spec, w_spec, b_spec),
+        out_specs=out_spec,
     )(x_sharded, w, bias if bias is not None else jnp.zeros((), jnp.float32))
 
 

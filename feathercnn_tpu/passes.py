@@ -46,10 +46,13 @@ _EPILOGUE_OPS = {"Convolution", "InnerProduct", "Eltwise", "Scale", "Axpy"}
 
 
 def optimize(graph: Graph, merge_siblings: bool = True,
-             merge_concats: bool = False) -> Graph:
+             merge_concats: bool = False,
+             fold_scale_chains: bool = True) -> Graph:
     drop_identities(graph)
     fold_batchnorm(graph)
     fold_scale(graph)
+    if fold_scale_chains:
+        fold_scale_chain(graph)
     fuse_activation(graph)
     if merge_concats:
         # before merge_sibling_convs: concat-feeding sibling groups get
@@ -159,6 +162,50 @@ def fold_batchnorm(graph: Graph) -> None:
                 outputs=list(n.outputs),
                 attrs={"bias_term": True}, params=[gname, bname]))
     graph.nodes = keep
+
+
+def fold_scale_chain(graph: Graph) -> None:
+    """Collapse back-to-back per-channel affines into ONE Scale:
+    ``Scale_a (no act) -> Scale_b``  ==>  ``Scale(ga*gb, ba*gb + bb)``
+    keeping Scale_b's name/outputs/activation.
+
+    DenseNet-style deploys emit a BatchNorm (canonicalized to a Scale by
+    fold_batchnorm — it cannot fold back through a Concat) immediately
+    followed by the Caffe Scale layer, after EVERY concat: folding the
+    pair halves the head's elementwise passes, and under w8a8 removes
+    one requant_int8 round trip per pair (one fewer int8 grid hop, so
+    numerics only improve).  Exact to f32 rounding (composed in f64).
+    Iterates to fixpoint so longer affine chains collapse too."""
+    changed = True
+    while changed:
+        changed = False
+        producers = graph.producers()
+        keep: List[Node] = []
+        dropped = set()
+        for n in graph.nodes:
+            if (n.op != "Scale" or not n.params or len(n.inputs) > 1
+                    or n.name in dropped):
+                keep.append(n)
+                continue
+            prod = producers.get(n.inputs[0])
+            if (prod is not None and prod.op == "Scale" and prod.params
+                    and len(prod.inputs) == 1
+                    and not prod.attrs.get("activation")
+                    and _sole_consumer(graph, n.inputs[0])):
+                ga, ba = _scale_affine(graph, prod)
+                gb, bb = _scale_affine(graph, n)
+                gname = n.name + "/chain_gamma"
+                bname = n.name + "/chain_beta"
+                graph.params[gname] = (ga * gb).astype(np.float32)
+                graph.params[bname] = (ba * gb + bb).astype(np.float32)
+                n.inputs = list(prod.inputs)
+                n.params = [gname, bname]
+                n.attrs["bias_term"] = True
+                keep = [k for k in keep if k.name != prod.name]
+                dropped.add(prod.name)
+                changed = True
+            keep.append(n)
+        graph.nodes = keep
 
 
 def fold_scale(graph: Graph) -> None:

@@ -21,7 +21,7 @@ _QUANT_OPS = ("Convolution", "InnerProduct")
 
 def quantize_graph(graph, mode: str, int8_grouped: bool = False,
                    requant_ops: bool = True, int8_axpy: bool = True,
-                   fp_act_layers=()) -> None:
+                   fp_act_layers=(), quant_overrides=None) -> None:
     """``int8_grouped``: let grouped (cardinality) convs take int8 edges —
     measured exact on XLA (int32 accumulation) but the conv itself runs
     ~25% slower than bf16 at ResNeXt shapes; the win, when any, is the
@@ -29,9 +29,14 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False,
     ``requant_ops``: enable the requantizing edge types (concat_int8
     fallback, Scale/LRN requant_int8).  ``int8_axpy``: let Axpy's two
     big inputs (x, y) arrive int8 at their calibrated scales (the SE
-    gate stays float)."""
+    gate stays float).  ``quant_overrides``: per-layer mode map
+    (EngineConfig.quant_overrides): "fp_act" keeps a layer's input
+    float; "fp" additionally blocks every int8-edge role for the layer
+    (emit, Eltwise/Axpy/Concat/Scale/LRN/pool marks) — the per-stage
+    bf16 flip the roofline table motivates."""
     if mode not in ("w8", "w8a8"):
         raise ValueError(f"unknown quant mode {mode!r}")
+    qov = dict(quant_overrides or {})
     act_scales = graph.meta.get("act_scales", {})
     value_scales = graph.meta.get("value_scales", {})
     qmeta = graph.meta.setdefault("quant", {})
@@ -58,7 +63,8 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False,
             xs = value_scales.get(n.inputs[0], act_scales.get(n.name))
             if xs is None:
                 pass
-            elif n.name in fp_act_layers or fp_auto:
+            elif (n.name in fp_act_layers or fp_auto
+                  or qov.get(n.name) in ("fp_act", "fp")):
                 # keep the scale so serving can still TRANSFER int8
                 # inputs (dispatch dequantizes via input_scale)
                 info["input_scale"] = float(xs)
@@ -198,6 +204,10 @@ def quantize_graph(graph, mode: str, int8_grouped: bool = False,
                 info.pop("emit_int8", None)
                 info.pop("y_scale", None)
         for n in reversed(graph.nodes):
+            if qov.get(n.name) == "fp":
+                # full per-layer opt-out: no int8-edge role of any kind
+                # (emit, accept, transparent/requant/eltwise marks)
+                continue
             if (n.op == "Eltwise"
                     and n.attrs.get("operation", "SUM") == "SUM"
                     and not n.attrs.get("coeffs")):

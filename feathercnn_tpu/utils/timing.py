@@ -130,9 +130,15 @@ def device_bench(fn: Callable, args: Sequence, iters: int = 50,
         def body(i, carry):
             a0 = args[0] + jnp.asarray(i % 3, args[0].dtype)
             out = fn(a0, *args[1:])
-            if isinstance(out, (tuple, list, dict)):
-                out = jax.tree_util.tree_leaves(out)[0]
-            return carry + out.ravel()[0].astype(jnp.float32)
+            # Reduce over EVERY output element: a single element can be
+            # a data-independent constant (e.g. DetectionOutput's img_id
+            # column), which lets XLA dead-code the entire computation
+            # under test (measured: the SSD head "ran" in 0.0 ms).  The
+            # full-sum reduction costs <1 us at any shape here.
+            leaves = (jax.tree_util.tree_leaves(out)
+                      if isinstance(out, (tuple, list, dict)) else [out])
+            return carry + sum(jnp.sum(v.astype(jnp.float32))
+                               for v in leaves)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     float(loop(args, jnp.int32(warmup)))   # compile + warmup (fetch-synced)

@@ -128,13 +128,14 @@ def _serial_greedy_nms(boxes, valid, thresh, plus_one=0.0):
 
 
 @pytest.mark.parametrize("k,block,plus_one", [
-    (37, 8, 0.0),        # K not a multiple of block
-    (64, 16, 1.0),       # pixel convention
+    (37, 8, 0.0),        # K not a multiple of block (nor of 32)
+    (64, 16, 1.0),       # pixel convention; K a multiple of 32
     (200, 64, 0.0),
     (200, 512, 0.0),     # block > K: single tile
 ])
 def test_greedy_nms_blocked_matches_serial(rng, k, block, plus_one):
-    from feathercnn_tpu.kernels.nms import (greedy_nms_blocked,
+    from feathercnn_tpu.kernels.nms import (greedy_nms_bitpack,
+                                            greedy_nms_blocked,
                                             greedy_nms_fixpoint)
     xy = rng.random((k, 2)).astype(np.float32) * 80
     wh = rng.random((k, 2)).astype(np.float32) * 40 + 1
@@ -146,8 +147,57 @@ def test_greedy_nms_blocked_matches_serial(rng, k, block, plus_one):
     bl = np.asarray(greedy_nms_blocked(jnp.asarray(boxes),
                                        jnp.asarray(valid), 0.5, plus_one,
                                        block=block))
+    bp = np.asarray(greedy_nms_bitpack(jnp.asarray(boxes),
+                                       jnp.asarray(valid), 0.5, plus_one))
     np.testing.assert_array_equal(fx, ref)
     np.testing.assert_array_equal(bl, ref)
+    np.testing.assert_array_equal(bp, ref)
+
+
+def test_greedy_nms_bitpack_score_rank(rng):
+    """scores= mode: rows in ARBITRARY order give the same greedy keep
+    set as the sorted positional form (rank from scores, ties by
+    position) — the contract sort-free candidate selection relies on."""
+    from feathercnn_tpu.kernels.nms import greedy_nms_bitpack
+    k = 73
+    xy = rng.random((k, 2)).astype(np.float32) * 80
+    wh = rng.random((k, 2)).astype(np.float32) * 40 + 1
+    boxes = np.concatenate([xy, xy + wh], -1)
+    scores = np.sort(rng.random(k).astype(np.float32))[::-1].copy()
+    valid = rng.random(k) > 0.1
+    ref = _serial_greedy_nms(boxes, valid, 0.5)
+    # sorted rows + scores  ==  positional form
+    got_sorted = np.asarray(greedy_nms_bitpack(
+        jnp.asarray(boxes), jnp.asarray(valid), 0.5,
+        scores=jnp.asarray(scores)))
+    np.testing.assert_array_equal(got_sorted, ref)
+    # shuffled rows + scores == unshuffled result
+    perm = rng.permutation(k)
+    got_shuf = np.asarray(greedy_nms_bitpack(
+        jnp.asarray(boxes[perm]), jnp.asarray(valid[perm]), 0.5,
+        scores=jnp.asarray(scores[perm])))
+    np.testing.assert_array_equal(got_shuf, ref[perm])
+    # duplicate scores: ties break by position, deterministically
+    scores_t = np.round(scores * 8) / 8
+    got_a = np.asarray(greedy_nms_bitpack(
+        jnp.asarray(boxes), jnp.asarray(valid), 0.5,
+        scores=jnp.asarray(scores_t)))
+    assert got_a.dtype == bool and got_a.shape == (k,)
+
+
+def test_greedy_nms_bitpack_leading_dims(rng):
+    """(C, K, 4) batched bitpack form == per-slice serial greedy."""
+    from feathercnn_tpu.kernels.nms import greedy_nms_bitpack
+    C, K = 3, 50
+    xy = rng.random((C, K, 2)).astype(np.float32) * 60
+    wh = rng.random((C, K, 2)).astype(np.float32) * 30 + 1
+    boxes = np.concatenate([xy, xy + wh], -1)
+    valid = rng.random((C, K)) > 0.2
+    got = np.asarray(greedy_nms_bitpack(jnp.asarray(boxes),
+                                        jnp.asarray(valid), 0.4))
+    for c in range(C):
+        np.testing.assert_array_equal(
+            got[c], _serial_greedy_nms(boxes[c], valid[c], 0.4))
 
 
 def test_greedy_nms_blocked_leading_dims(rng):

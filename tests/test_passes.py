@@ -141,3 +141,36 @@ def test_space_to_depth_stem_exact(rng):
     assert any(n.op == "SpaceToDepth" for n in eng.graph.nodes)
     out = np.asarray(eng(xv))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fold_scale_chain(rng):
+    """Back-to-back Scales collapse into one (DenseNet's post-Concat
+    BN->Scale pair): exact to f32 rounding, second node's name and
+    activation survive, chains of three collapse too."""
+    from feathercnn_tpu.models.builder import GraphBuilder
+    from feathercnn_tpu.passes import optimize
+
+    def build():
+        b = GraphBuilder("sc", seed=13)
+        x = b.input("data", (2, 8, 8, 6))
+        y = b.conv("c1", x, 8, 3, pad=1)
+        z = b.conv("c2", y, 8, 1)
+        y = b.concat("cat", [y, z])      # blocks folding into the conv
+        y = b.bn_scale("bn1", y)         # BatchNorm + Scale pair
+        y = b.relu("r1", y)
+        y = b.conv("c3", y, 8, 1)
+        y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+        y = b.fc("fc", y, 4)
+        return b.finish([y])
+
+    xv = rng.normal(size=(2, 8, 8, 6)).astype(np.float32)
+    g_ref = build()
+    ref = np.asarray(Engine(g_ref, EngineConfig(
+        fold_scale_chains=False))(xv))
+    g = build()
+    eng = Engine(g)                      # default: fold on
+    scales = [n for n in eng.graph.nodes if n.op == "Scale"]
+    assert len(scales) == 1, [n.name for n in scales]
+    assert scales[0].attrs.get("activation") == "relu"  # fused ReLU kept
+    out = np.asarray(eng(xv))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)

@@ -380,6 +380,61 @@ def test_requant_pool_float_producer(rng):
     assert _cosine(ref, out) > 0.997
 
 
+def test_quant_overrides_per_layer(rng):
+    """EngineConfig.quant_overrides (VERDICT r3 task 4): per-layer
+    quant-mode flips without giving up int8 elsewhere.  "fp" removes a
+    layer from every int8-edge role — its input edge goes float (the
+    producer is demoted when it was the only int8 consumer) and it never
+    emits int8; "fp_act" keeps only the input float."""
+    def build():
+        b = GraphBuilder("qov", seed=31)
+        x = b.input("data", (2, 16, 16, 8))
+        y = b.conv("stem", x, 16, 3, pad=1, relu=True)
+        y = b.conv("g1", y, 16, 1, group=4, relu=True)
+        y = b.conv("mid", y, 16, 1, relu=True)
+        y = b.pool("gap", y, 0, mode="AVE", global_pooling=True)
+        y = b.fc("fc", y, 10)
+        return b.finish([y])
+
+    g = build()
+    xv = rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
+    ref = np.asarray(Engine(g)(xv))
+    calibrate(g, [xv], method="max")
+    base = EngineConfig(backend="pallas", quant="w8a8", interpret=True,
+                        algo_overrides=(("*", "xla"),))
+
+    # default: g1 takes and emits int8 (int8_grouped on)
+    eng0 = Engine(g, base)
+    qm0 = eng0.graph.meta["quant"]
+    assert qm0["g1"].get("x_scale") is not None
+    assert qm0["stem"].get("emit_int8")
+
+    # "fp": g1 fully float — stem demoted (g1 was its only consumer),
+    # g1 does not emit, mid's input edge therefore float too
+    eng1 = Engine(g, base.replace(quant_overrides=(("g1", "fp"),)))
+    qm1 = eng1.graph.meta["quant"]
+    assert qm1["g1"].get("x_scale") is None
+    assert qm1["g1"].get("input_scale") is not None
+    assert not qm1["stem"].get("emit_int8")
+    assert not qm1["g1"].get("emit_int8")
+    out1 = np.asarray(eng1(xv))
+    assert _cosine(ref, out1) > 0.997
+
+    # "fp_act": input float but g1 still emits int8 into mid
+    eng2 = Engine(g, base.replace(quant_overrides=(("g1", "fp_act"),)))
+    qm2 = eng2.graph.meta["quant"]
+    assert qm2["g1"].get("x_scale") is None
+    assert qm2["g1"].get("emit_int8")
+    out2 = np.asarray(eng2(xv))
+    assert _cosine(ref, out2) > 0.997
+
+    # JSON round trip keeps the mapping form
+    cfg = EngineConfig.from_json(
+        '{"quant_overrides": {"g1": "fp"}, "quant": "w8a8"}')
+    assert dict(cfg.quant_overrides) == {"g1": "fp"}
+    assert "quant_overrides" in cfg.to_json()
+
+
 def test_baked_config_overrides(rng):
     """graph.meta['config_overrides'] supplies measured per-model config
     defaults; explicit user settings win."""

@@ -6,18 +6,18 @@ prior_box_layer.cpp / detection_output_layer.cpp)."""
 import numpy as np
 import pytest
 
-from feathercnn_tpu import Engine
+from feathercnn_tpu import Engine, EngineConfig
 from feathercnn_tpu.ir import Graph, Node, TensorSpec
 from feathercnn_tpu.models.zoo import mobilenet_ssd, vgg16_ssd300
 
 
-def _run(op, attrs, inputs, params=None, out_names=("y",)):
+def _run(op, attrs, inputs, params=None, out_names=("y",), config=None):
     in_specs = {f"x{i}": TensorSpec(v.shape) for i, v in enumerate(inputs)}
     g = Graph("t", in_specs, list(out_names),
               [Node("n", op, list(in_specs), list(out_names), attrs,
                     list(params or {}))],
               params=dict(params or {}))
-    e = Engine(g, optimize_graph=False)
+    e = Engine(g, config, optimize_graph=False)
     out = e.run({f"x{i}": v for i, v in enumerate(inputs)})
     return [np.asarray(out[n]) for n in out_names]
 
@@ -213,6 +213,47 @@ def test_detection_output_share_location_false(rng):
         assert row[1] == label
         np.testing.assert_allclose(row[2], score, rtol=1e-5)
         np.testing.assert_allclose(row[3:], box, rtol=1e-4, atol=1e-5)
+
+
+def test_detection_output_blocked_nms_matches_fixpoint(rng):
+    """nms_blocked routes DetectionOutput's per-class NMS through the
+    streamed (block, K) strip form at SSD scale (K = 400 > 2*128
+    triggers it); rows must match the fixpoint engine bit-for-bit —
+    identical IoU arithmetic, only the schedule differs."""
+    P, C, keep = 800, 6, 100
+    pcx = rng.uniform(0.1, 0.9, P)
+    pcy = rng.uniform(0.1, 0.9, P)
+    pw = rng.uniform(0.05, 0.3, P)
+    ph = rng.uniform(0.05, 0.3, P)
+    priors = np.stack([pcx - pw / 2, pcy - ph / 2,
+                       pcx + pw / 2, pcy + ph / 2], -1).astype(np.float32)
+    variances = np.tile(np.asarray([0.1, 0.1, 0.2, 0.2], np.float32),
+                        (P, 1))
+    loc = rng.normal(scale=0.5, size=(2, P, 4)).astype(np.float32)
+    logits = rng.normal(scale=2.0, size=(2, P, C)).astype(np.float32)
+    conf = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    prior_blob = np.stack([priors.reshape(-1),
+                           variances.reshape(-1)])[None]
+    attrs = {"num_classes": C, "share_location": True,
+             "background_label_id": 0, "nms_threshold": 0.45,
+             "nms_top_k": 400, "keep_top_k": keep,
+             "confidence_threshold": 0.05}
+    ins = [loc.reshape(2, -1), conf.reshape(2, -1),
+           prior_blob.astype(np.float32)]
+    (blocked,) = _run("DetectionOutput", attrs, ins,
+                      config=EngineConfig(nms_blocked=True,
+                                          topk_radix=False))
+    (fixpoint,) = _run("DetectionOutput", attrs, ins,
+                       config=EngineConfig(nms_blocked=False,
+                                           topk_radix=False))
+    np.testing.assert_array_equal(blocked, fixpoint)
+    assert (blocked[:, :, 1] >= 0).any()    # nonempty detections
+    # radix-select + score-ranked bitpack NMS: same detections as the
+    # sorted approx_max_k path (scores distinct -> tie-break moot);
+    # rows may legitimately reorder among EQUAL final scores only
+    (radix,) = _run("DetectionOutput", attrs, ins,
+                    config=EngineConfig(topk_radix=True))
+    np.testing.assert_array_equal(radix, fixpoint)
 
 
 def test_detection_output_planted_box():

@@ -183,7 +183,8 @@ def tune_regions(graph, dtype: str, quant, iters: int = 15):
 
 _TUNABLE_FLAGS = ("merge_siblings", "merge_concats", "int8_grouped",
                   "int8_requant_ops", "nms_blocked", "roipool_table",
-                  "lrn_band", "shuffle_matmul", "concat_dus")
+                  "lrn_band", "shuffle_matmul", "concat_dus",
+                  "fold_scale_chains", "topk_radix")
 
 # Flags whose flip moves values onto different quant grids (not just a
 # different schedule for the same arithmetic).  Under --flags these are
@@ -192,7 +193,7 @@ _TUNABLE_FLAGS = ("merge_siblings", "merge_concats", "int8_grouped",
 # _NUMERIC_MARGIN, or the flip is rejected no matter how fast it is
 # (ADVICE r3: a broken int8 path must not get auto-baked silently).
 _NUMERIC_FLAGS = ("concat_dus", "int8_requant_ops", "int8_grouped",
-                  "merge_concats")
+                  "merge_concats", "fold_scale_chains")
 _NUMERIC_MARGIN = 0.01
 
 
@@ -234,7 +235,8 @@ def tune_flags(graph, dtype: str, quant, rounds: int = 5, iters: int = 20,
                 "roipool_table": {"ROIPooling"},
                 "lrn_band": {"LRN"},
                 "shuffle_matmul": {"ShuffleChannel"},
-                "concat_dus": {"Concat"}}
+                "concat_dus": {"Concat"},
+                "topk_radix": {"DetectionOutput"}}
     variants = [("base", base_cfg)]
     for flag in _TUNABLE_FLAGS:
         need = relevant.get(flag)
