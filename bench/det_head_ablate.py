@@ -124,6 +124,28 @@ def main():
                                     rows.shape)
             sc, idx = jax.lax.sort((-rows, iota), num_keys=1)
             sc, idx = -sc[:, :K], idx[:, :K]
+        elif "radixcmp" in skip:
+            # radix select + comparison-sum index compaction + takes:
+            # idx[k] = sum_p [cum_p <= k] (index of the k-th member),
+            # no sort, no scatter, nothing scales past P*K bool ops
+            rows = conf_i[:, cls].T                     # (C', P)
+            keys = jax.lax.bitcast_convert_type(
+                jnp.maximum(rows, 0.0), jnp.int32)
+            t = jnp.zeros(rows.shape[:-1], jnp.int32)
+            for b in range(30, -1, -1):
+                cand = t | (1 << b)
+                cnt = jnp.sum(keys >= cand[..., None], axis=-1)
+                t = jnp.where(cnt >= K, cand, t)
+            above = keys > t[..., None]
+            n_above = jnp.sum(above, axis=-1)
+            eq = keys == t[..., None]
+            eq_rank = jnp.cumsum(eq, axis=-1) - 1
+            mem = above | (eq & (eq_rank < (K - n_above)[..., None]))
+            cum = jnp.cumsum(mem, axis=-1)              # inclusive
+            idx = jnp.sum((cum[..., None, :]
+                           <= jnp.arange(K)[None, :, None])
+                          .astype(jnp.int32), axis=-1)  # (C', K)
+            sc = jnp.take_along_axis(rows, idx, axis=-1)
         elif "radix" in skip:
             rows = conf_i[:, cls].T                     # (C', P)
             keys = jax.lax.bitcast_convert_type(
@@ -238,10 +260,9 @@ def main():
         print(json.dumps({"variant": label,
                           "ms": round(t * 1e3, 3)}), flush=True)
 
-    bench("sel_nocumsum_out", ("radix", "noloop", "noscatter"))
-    bench("sel_noscatter", ("radix", "noscatter"))
-    bench("sel_notake", ("radix", "notake"))
-    bench("radix_full", ("radix",))
+    bench("all", ())
+    bench("radixcmp_take", ("radixcmp", "take", "bitpack_scores"))
+    bench("radixcmp_onehot", ("radixcmp", "bitpack_scores"))
 
 
 if __name__ == "__main__":

@@ -136,6 +136,15 @@ class EngineConfig:
     # no-nms_blocked).
     nms_blocked: bool = True
 
+    # Windowed AVE pooling lowered as a depthwise conv with a ones
+    # kernel (+ the same clipped-window denominators) instead of
+    # reduce_window — exact (identical sums), and routes the op through
+    # XLA's conv emitter whose in-context fusion differs.  Probe flag
+    # for pool-dominated segments (ShuffleNet-v1 transitions measure
+    # 2-4% SoL on the reduce_window form while the isolated kernel is
+    # fast — the cost is contextual).  A/B per model before baking.
+    avepool_dwconv: bool = False
+
     # DetectionOutput per-class candidate selection via exact radix
     # select on the f32 score bits (31 counting passes find the K-th
     # largest value exactly; membership compacts by INDEX, no sort) —

@@ -1322,13 +1322,6 @@ def _lower_pool(node, inputs, params, ctx):
     # AVE: sum over the window (pad contributes zeros), divide by the
     # window size clipped to the padded extent [0, size + pad) — exactly
     # Caffe's pool_size computation.
-    y = jax.lax.reduce_window(
-        x.astype(jnp.float32), 0.0, jax.lax.add,
-        window_dimensions=(1, kh, kw, 1),
-        window_strides=(1, sh, sw, 1),
-        padding=pad_cfg,
-    )
-
     def counts(size, k, s, p, out):
         starts = np.arange(out) * s - p
         ends = np.minimum(starts + k, size + p)
@@ -1337,6 +1330,47 @@ def _lower_pool(node, inputs, params, ctx):
     ch = counts(h, kh, sh, ph, oh)
     cw = counts(w, kw, sw, pw, ow)
     denom = jnp.asarray(np.outer(ch, cw))[None, :, :, None]
+    if getattr(ctx.config, "avepool_dwconv", False):
+        # same sums via the conv emitter (ones depthwise kernel); pad
+        # contributes zeros exactly like reduce_window's 0 init
+        c_ = x.shape[-1]
+        int8_in = x.dtype == jnp.int8
+        ones = jnp.ones((kh, kw, 1, c_),
+                        jnp.int8 if int8_in else x.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, ones, (sh, sw),
+            ((ph, ph + extra_h), (pw, pw + extra_w)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c_,
+            preferred_element_type=jnp.int32 if int8_in
+            else jnp.float32)
+        if rq:
+            s = ((q["x_scale"] if int8_in else 1.0)
+                 / q["y_scale"]) / denom
+            return [jnp.clip(jnp.round(y.astype(jnp.float32) * s),
+                             -127, 127).astype(jnp.int8)]
+        return [(y.astype(jnp.float32) / denom).astype(x.dtype)]
+    if rq and x.dtype == jnp.int8:
+        # int8 requant path accumulates in int32 (<=k*k*127 fits with
+        # room) and folds x/y scales and the window denominators into
+        # ONE f32 multiply — no f32 copy of the big input tensor
+        # (ShuffleNet-v1 transition pools, bench/pool_micro.py: exact,
+        # 0.138 -> ~0 ms isolated at (128,28,28,240)).
+        y = jax.lax.reduce_window(
+            x.astype(jnp.int32), 0, jax.lax.add,
+            window_dimensions=(1, kh, kw, 1),
+            window_strides=(1, sh, sw, 1),
+            padding=pad_cfg,
+        )
+        s = (q["x_scale"] / q["y_scale"]) / denom
+        return [jnp.clip(jnp.round(y.astype(jnp.float32) * s),
+                         -127, 127).astype(jnp.int8)]
+    y = jax.lax.reduce_window(
+        x.astype(jnp.float32), 0.0, jax.lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=pad_cfg,
+    )
     if rq:
         return [_requant(y / denom)]
     return [(y / denom).astype(x.dtype)]
