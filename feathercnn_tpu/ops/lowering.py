@@ -502,6 +502,10 @@ def _lower_detection_output(node, inputs, params, ctx):
     num_loc = 1 if share_loc else num_classes
 
     loc, conf, priors = inputs
+    # bf16-origin conf upcast to f32 has zero low-16 mantissa bits, so
+    # the radix count loop can skip them — 15 passes instead of 31,
+    # still exact (every key, including the K-th, has those bits zero).
+    conf_min_bit = 16 if conf.dtype == jnp.bfloat16 else 0
     n = loc.shape[0]
     pb = jnp.asarray(priors, jnp.float32).reshape(2, -1, 4)
     pbox, pvar = pb[0], pb[1]                   # (P, 4)
@@ -564,8 +568,9 @@ def _lower_detection_output(node, inputs, params, ctx):
         keys = jax.lax.bitcast_convert_type(jnp.maximum(rows, 0.0),
                                             jnp.int32)
         t = jnp.zeros(keys.shape[:-1], jnp.int32)
-        for bit in range(30, -1, -1):       # scores <= 1.0 < 2.0: bit31
-            cand = t | (1 << bit)           # sign is never set either
+        for bit in range(30, conf_min_bit - 1, -1):
+            # scores <= 1.0 < 2.0 and >= 0: bits 31/30 never set
+            cand = t | (1 << bit)
             cnt = jnp.sum(keys >= cand[..., None], axis=-1)
             t = jnp.where(cnt >= K, cand, t)
         above = keys > t[..., None]

@@ -254,6 +254,17 @@ def test_detection_output_blocked_nms_matches_fixpoint(rng):
     (radix,) = _run("DetectionOutput", attrs, ins,
                     config=EngineConfig(topk_radix=True))
     np.testing.assert_array_equal(radix, fixpoint)
+    # bf16-origin conf: the f32 upcast has zero low-16 mantissa bits,
+    # so the radix loop legitimately skips them (conf_min_bit=16) —
+    # results must still match the approx path on the same bf16 data
+    import jax.numpy as jnp
+    ins16 = [jnp.asarray(ins[0], jnp.bfloat16),
+             jnp.asarray(ins[1], jnp.bfloat16), ins[2]]
+    (radix16,) = _run("DetectionOutput", attrs, ins16,
+                      config=EngineConfig(topk_radix=True))
+    (approx16,) = _run("DetectionOutput", attrs, ins16,
+                       config=EngineConfig(topk_radix=False))
+    np.testing.assert_array_equal(radix16, approx16)
 
 
 def test_detection_output_planted_box():
