@@ -56,11 +56,20 @@ def main():
         bkw["with_softmax"] = False
     g0 = builder(batch=args.batch, **bkw)
     if args.quant == "w8a8":
-        g_cal = builder(batch=8, **bkw)
+        try:
+            g_cal = builder(batch=8, **bkw)
+        except ValueError:            # batch-1-only builders
+            g_cal = builder(batch=args.batch, **bkw)
         rng = np.random.default_rng(1)
         spec0 = next(iter(g_cal.inputs.values()))
-        calibrate(g_cal, [rng.normal(size=spec0.shape).astype(np.float32)],
-                  method="max",
+        cal0 = rng.normal(size=spec0.shape).astype(np.float32)
+        if len(g_cal.inputs) > 1:     # two-stage models: im_info etc.
+            from feathercnn_tpu.utils.timing import default_extra_inputs
+            cal = [{next(iter(g_cal.inputs)): cal0,
+                    **default_extra_inputs(g_cal)}]
+        else:
+            cal = [cal0]
+        calibrate(g_cal, cal, method="max",
                   config=EngineConfig(compute_dtype=args.dtype))
         g0.meta.update({k: g_cal.meta[k]
                         for k in ("act_scales", "value_scales")})
