@@ -136,6 +136,14 @@ class EngineConfig:
     # no-nms_blocked).
     nms_blocked: bool = True
 
+    # DetectionOutput candidate-box gather via the gather engine
+    # (jnp.take) instead of the one-hot MXU matmul.  The one-hot dot
+    # wins at MobileNet-SSD scale (P=1917: take measured 1.4x worse)
+    # but scales with P while take scales with K — at VGG16-SSD300's
+    # P=8732 the live driver measured take ~5% better whole-head.
+    # A/B per model; only used on the approx (non-radix) path.
+    det_take_gather: bool = False
+
     # Windowed AVE pooling lowered as a depthwise conv with a ones
     # kernel (+ the same clipped-window denominators) instead of
     # reduce_window — exact (identical sums), and routes the op through

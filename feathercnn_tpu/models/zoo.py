@@ -1199,12 +1199,15 @@ def vgg16_ssd300(batch: int = 1, seed: int = 0, num_classes: int = 21,
     ], num_classes, keep_top_k=keep_top_k, nms_top_k=400,
         confidence_threshold=confidence_threshold)
     g = b.finish([out])
-    # Measured bake (bench/config_ab.py b16 paired, 2026-08-21): radix
+    # Measured bakes (bench/config_ab.py b16 paired, 2026-08-21): radix
     # top-K LOSES -4.7% here — at P=8732 priors K/P is 4.6%, approx_
     # max_k's efficient regime, while the radix one-hot contraction
-    # scales with P.  MobileNet-SSD (P=1917, K/P 21%) keeps the radix
-    # default (+28.7%).
-    g.meta["config_overrides"] = {"topk_radix": False}
+    # scales with P (MobileNet-SSD at P=1917, K/P 21% keeps the radix
+    # default, +28.7%).  The box gather flips to the gather engine:
+    # take scales with K while the one-hot dot scales with P — +5.9%
+    # paired (1,636 vs 1,544 img/s; exact, rows bit-identical).
+    g.meta["config_overrides"] = {"topk_radix": False,
+                                  "det_take_gather": True}
     return g
 
 

@@ -601,9 +601,12 @@ def _lower_detection_output(node, inputs, params, ctx):
         # HIGHEST keeps it exact (1.0 * f32 splits reconstruct exactly).
         # Under radix the scores ride the SAME contraction as a 5th
         # payload column, so selection needs no gather of any kind.
+        take = bool(getattr(ctx.config, "det_take_gather", False))
         if share_loc:
             boxes = decode(loc_i[:, 0])         # (P, 4), class-shared
-            if sc is not None:
+            if sc is not None and take:
+                bx = jnp.take(boxes, idx, axis=0)   # gather engine
+            elif sc is not None:
                 bx = jnp.dot(oh.reshape(-1, P), boxes,
                              precision=jax.lax.Precision.HIGHEST) \
                     .reshape(sc.shape + (4,))   # (C', K, 4)
