@@ -40,10 +40,15 @@ def main():
     from feathercnn_tpu.models import MODEL_BUILDERS
     from feathercnn_tpu.serve import InferenceServer
 
-    g = MODEL_BUILDERS[args.model](batch=args.batch, with_softmax=False)
+    import inspect
+    builder = MODEL_BUILDERS[args.model]
+    bkw = ({"with_softmax": False}
+           if "with_softmax" in inspect.signature(builder).parameters
+           else {})
+    g = builder(batch=args.batch, **bkw)
     if args.quant == "w8a8":
         from feathercnn_tpu.quant import calibrate
-        g_cal = MODEL_BUILDERS[args.model](batch=4, with_softmax=False)
+        g_cal = builder(batch=4, **bkw)
         calibrate(g_cal, [np.random.default_rng(1).normal(
             size=(4,) + tuple(next(iter(g_cal.inputs.values())).shape[1:])
         ).astype(np.float32)], method="max")
