@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--quant", default="w8a8")
     ap.add_argument("--a", required=True, help="JSON EngineConfig fields")
     ap.add_argument("--b", required=True, help="JSON EngineConfig fields")
+    ap.add_argument("--bkw", default="{}",
+                    help="JSON builder kwargs (e.g. bg_bias for the "
+                         "SSD realistic-score-distribution variants)")
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
@@ -51,7 +54,7 @@ def main():
 
     import inspect
     builder = MODEL_BUILDERS[args.model]
-    bkw = {}
+    bkw = json.loads(args.bkw)
     if "with_softmax" in inspect.signature(builder).parameters:
         bkw["with_softmax"] = False
     g0 = builder(batch=args.batch, **bkw)

@@ -164,6 +164,19 @@ class EngineConfig:
     # ties arbitrarily too).  Off = the approx_max_k + sorted-NMS path.
     topk_radix: bool = True
 
+    # DetectionOutput threshold-FIRST candidate compaction (Caffe's
+    # actual order: confidence_threshold BEFORE per-class top-k).  Value
+    # is the static prior budget B (0 = off): priors clearing the
+    # threshold for any class compact by index into B slots (cumsum-slot
+    # one-hot payload contraction — no scatter, no gather, no sort), and
+    # NMS + keep_top_k run on the compacted set, so the head scales with
+    # B instead of P.  A batch-level lax.cond falls back to the exact
+    # full path whenever survivors overflow B or a class exceeds
+    # nms_top_k survivors — trained-model thresholds (0.01) leave O(100)
+    # survivors; random/uniform scores take the fallback.  share_location
+    # heads only.
+    det_thresh_first: int = 0
+
     # ROIPooling via a dyadic range-max pyramid (4 gathered rows per bin)
     # instead of full-map membership-mask reductions — exact either way
     # (bin max is a selection); the mask form costs R*bins*H*W*C VPU ops,

@@ -1066,7 +1066,8 @@ def rfcn_resnet101(batch: int = 1, seed: int = 0, num_classes: int = 21,
 def _ssd_head(b: GraphBuilder, data: str, sources, num_classes: int,
               keep_top_k: int = 100, nms_top_k: int = 400,
               confidence_threshold: float = 0.01,
-              nms_threshold: float = 0.45) -> str:
+              nms_threshold: float = 0.45,
+              bg_bias: float = 0.0) -> str:
     """The shared SSD multibox head ([pub] FeatherCNN runs the ssd-fork
     deploys through its converter; layer pattern from the public
     SSD/MobileNet-SSD deploy prototxts): per source a 1x1 loc conv
@@ -1080,6 +1081,15 @@ def _ssd_head(b: GraphBuilder, data: str, sources, num_classes: int,
         loc = b.permute(f"{n}_mbox_loc_perm", loc)
         locs.append(b.flatten(f"{n}_mbox_loc_flat", loc))
         conf = b.conv(f"{n}_mbox_conf", src, np_ * num_classes, 1)
+        if bg_bias:
+            # Trained-SSD-like score distribution for measurement:
+            # boost the background logit so softmax leaves O(100)
+            # foreground survivors above confidence_threshold (the zoo's
+            # random weights give near-uniform softmax where EVERY prior
+            # survives 0.01 — unrepresentative of any deployed SSD).
+            # Default 0.0 keeps golden fingerprints untouched.
+            bia = b.graph.params[f"{n}_mbox_conf/b"]
+            bia[0::num_classes] = bg_bias
         conf = b.permute(f"{n}_mbox_conf_perm", conf)
         confs.append(b.flatten(f"{n}_mbox_conf_flat", conf))
         priors.append(b.priorbox(f"{n}_mbox_priorbox", src, data, **kw))
@@ -1097,7 +1107,8 @@ def _ssd_head(b: GraphBuilder, data: str, sources, num_classes: int,
 
 def mobilenet_ssd(batch: int = 1, seed: int = 0, num_classes: int = 21,
                   keep_top_k: int = 100,
-                  confidence_threshold: float = 0.25) -> Graph:
+                  confidence_threshold: float = 0.25,
+                  bg_bias: float = 0.0) -> Graph:
     """MobileNet-SSD 300x300 (the public chuanqi305 VOC deploy): MobileNet
     v1 body (BN folded into the convs, as the deploy ships), 4 extra
     dw-sep-free stages, heads on conv11/conv13/conv14_2..conv17_2 with
@@ -1149,13 +1160,21 @@ def mobilenet_ssd(batch: int = 1, seed: int = 0, num_classes: int = 21,
         (conv16, 6, pb(240.0, 285.0)),
         (conv17, 6, pb(285.0, 300.0)),
     ], num_classes, keep_top_k=keep_top_k, nms_top_k=100,
-        confidence_threshold=confidence_threshold)
-    return b.finish([out])
+        confidence_threshold=confidence_threshold, bg_bias=bg_bias)
+    g = b.finish([out])
+    # Measured bake (bench/config_ab.py b128 paired, 2026-08-21):
+    # threshold-first compaction +13.6% over the radix path at a
+    # trained-SSD-like survivor distribution (bg_bias=8: 17,790 ->
+    # 20,193 img/s); the exact fallback costs nothing at the zoo's
+    # random weights (+1.8% noise-positive).  Radix stays the fallback.
+    g.meta["config_overrides"] = {"det_thresh_first": 512}
+    return g
 
 
 def vgg16_ssd300(batch: int = 1, seed: int = 0, num_classes: int = 21,
                  keep_top_k: int = 200,
-                 confidence_threshold: float = 0.01) -> Graph:
+                 confidence_threshold: float = 0.01,
+                 bg_bias: float = 0.0) -> Graph:
     """SSD300 (the original Wei Liu VGG-16 deploy): VGG through conv5_3
     (ceil-mode pool3 75->38, stride-1 3x3 pool5), atrous fc6 (dilation
     6), conv6_1..conv9_2 extras, L2 Normalize (init 20) on conv4_3, 8732
@@ -1197,7 +1216,7 @@ def vgg16_ssd300(batch: int = 1, seed: int = 0, num_classes: int = 21,
         (conv8, 4, pb(213.0, 264.0, 100.0, (2.0,))),
         (conv9, 4, pb(264.0, 315.0, 300.0, (2.0,))),
     ], num_classes, keep_top_k=keep_top_k, nms_top_k=400,
-        confidence_threshold=confidence_threshold)
+        confidence_threshold=confidence_threshold, bg_bias=bg_bias)
     g = b.finish([out])
     # Measured bakes (bench/config_ab.py b16 paired, 2026-08-21): radix
     # top-K LOSES -4.7% here — at P=8732 priors K/P is 4.6%, approx_
@@ -1206,8 +1225,14 @@ def vgg16_ssd300(batch: int = 1, seed: int = 0, num_classes: int = 21,
     # default, +28.7%).  The box gather flips to the gather engine:
     # take scales with K while the one-hot dot scales with P — +5.9%
     # paired (1,636 vs 1,544 img/s; exact, rows bit-identical).
+    # Round-5: threshold-first compaction +41% paired at a trained-SSD
+    # survivor distribution (bg_bias=20 under the bench's normal
+    # inputs: 1,683 -> 2,371 img/s, B=1024 covers the +2 input
+    # perturbation); the exact fallback at the zoo's random weights
+    # measures +4.4% (reshape-in-branch scheduling), never a loss.
     g.meta["config_overrides"] = {"topk_radix": False,
-                                  "det_take_gather": True}
+                                  "det_take_gather": True,
+                                  "det_thresh_first": 1024}
     return g
 
 

@@ -502,6 +502,7 @@ def _lower_detection_output(node, inputs, params, ctx):
     num_loc = 1 if share_loc else num_classes
 
     loc, conf, priors = inputs
+    loc0, conf0 = loc, conf                     # raw flat (cond operands)
     # bf16-origin conf upcast to f32 has zero low-16 mantissa bits, so
     # the radix count loop can skip them — 15 passes instead of 31,
     # still exact (every key, including the K-th, has those bits zero).
@@ -545,8 +546,17 @@ def _lower_detection_output(node, inputs, params, ctx):
     # f32 score bits, membership compacted by prior index — and feeds
     # the score-ranked bitpack NMS (rank from scores, ties by index).
     use_radix = bool(getattr(ctx.config, "topk_radix", False))
+    tf_budget = int(getattr(ctx.config, "det_thresh_first", 0))
 
     cls = np.asarray([c for c in range(num_classes) if c != bg])
+    # bg==0 (the universal Caffe layout) makes the foreground classes a
+    # CONTIGUOUS suffix: slice instead of fancy-index — the gather of 20
+    # of 21 lane-axis columns measured ~1 ms at (16, 8732, 21) through
+    # the predicate/selection paths.
+    if bg == 0:
+        take_cls = lambda c: c[..., 1:]
+    else:
+        take_cls = lambda c: c[..., cls]
 
     def radix_slots(rows):
         """Exact top-K membership of each row as compaction SLOTS:
@@ -587,7 +597,7 @@ def _lower_detection_output(node, inputs, params, ctx):
         # exact (scores bit-identical, tie order may differ).  Under
         # topk_radix, compaction slots arrive precomputed (batched
         # radix select) and the one-hot comes from slot comparisons.
-        rows = conf_i[:, cls].T                            # (C', P)
+        rows = take_cls(conf_i).T                          # (C', P)
         if slot is None:
             sc, idx = jax.lax.approx_max_k(rows, K,
                                            recall_target=1.0)  # (C', K)
@@ -659,12 +669,150 @@ def _lower_detection_output(node, inputs, params, ctx):
                                            jnp.float32), (pad, 1))])
         return row                              # (keep_top_k, 6)
 
-    if use_radix:
-        slot_all = radix_slots(
-            jnp.transpose(conf[:, :, cls], (0, 2, 1)))   # (N, C', P)
-        rows = jax.vmap(per_image)(loc, conf, slot_all)
+    def _dispatch(loc_, conf_):
+        if use_radix:
+            slot_all = radix_slots(
+                jnp.transpose(take_cls(conf_), (0, 2, 1)))  # (N, C', P)
+            return jax.vmap(per_image)(loc_, conf_, slot_all)
+        return jax.vmap(per_image)(loc_, conf_)  # (N, keep, 6)
+
+    if tf_budget and share_loc:
+        # Threshold-FIRST candidate compaction — Caffe's actual order
+        # ([pub] ssd DetectionOutputLayer: ApplyNMSFast runs on the
+        # conf > confidence_threshold survivors, then top-nms_top_k):
+        # a trained SSD's 0.01 threshold leaves O(100) candidates, so
+        # selection/gather/NMS can scale with a static budget B instead
+        # of P.  Priors that clear the threshold for ANY class compact
+        # (by index) into B slots via cumsum-slot one-hot contractions
+        # (never .at[].set — aliased-scatter serialization, CLAUDE.md);
+        # loc deltas, the per-prior decode constants, and all C' class
+        # scores ride the same (B, P) x (P, 12+C') payload matmul, so
+        # the fast path has NO per-class top-K and NO gather at all:
+        # survivor counts <= nms_top_k make the top-K restriction inert
+        # (checked by the same predicate), and the score-ranked bitpack
+        # NMS consumes the index-ordered compacted set directly.
+        # Exactness: a batch-level lax.cond falls back to the full path
+        # whenever the predicate can't prove the budgets hold — the
+        # predicate is batch-uniform, so XLA executes ONE branch (a
+        # per-image cond under vmap would select BOTH).  Decode on
+        # compacted rows keeps the fallback's exact f32 op order
+        # (pvar*l*pw, not (pvar*pw)*l).
+        #
+        # Predicate: only per-class survivor counts are computed, in
+        # the FLAT (N, P*C) conf layout as one MXU contraction with a
+        # 0/1 class-selection matrix — any formulation that touches the
+        # reshaped (N, P, C) tensor pays its C(=21)-lane minor layout
+        # (lanes 21/128 padded): the obvious
+        # jnp.sum(above, axis=1) predicate measured 3.3 ms in-context
+        # at b16 while this form is ~0.1 ms (FTPU trivial-pred probe
+        # bisect).  The union-of-priors bound uses the counts' SUM —
+        # conservative (multi-class priors count once per class) but
+        # reduction-free.  Counts are exact: 0/1 bf16 products, f32
+        # accumulation.
+        #
+        # Two-level compaction: level 1 packs the union of survivors
+        # into B index-ordered slots ONCE (payload = loc deltas, the
+        # 8 per-prior decode constants, all C' scores — one (B, P) x
+        # (P, 12+C') matmul); level 2 re-compacts each class's
+        # survivors from B into Bc slots (a (C', Bc, B) one-hot einsum
+        # — B-minor, P-free), so the NMS IoU work scales with Bc^2,
+        # not B^2 (measured: NMS over (C', 512, 512) was 2.0 of the
+        # fast head's 2.5 ms).
+        B = min(abs(tf_budget), P)
+        Bc = min(256, K, B)
+        sel = ((jnp.arange(P * num_classes) % num_classes)[:, None]
+               == jnp.arange(num_classes)[None, :]
+               ).astype(jnp.bfloat16)  # device-generated (no host const)
+        af = (conf0.reshape(n, P * num_classes).astype(jnp.float32)
+              > conf_thresh)
+        n_cls = jnp.dot(af.astype(jnp.bfloat16), sel,
+                        preferred_element_type=jnp.float32)  # (N, C)
+        n_fg = take_cls(n_cls)                               # (N, C')
+        ok = ((jnp.max(jnp.sum(n_fg, axis=-1)) <= B)
+              & (jnp.max(n_fg) <= Bc))
+        pconst = jnp.concatenate(
+            [pvar, pw[:, None], ph[:, None],
+             pcx[:, None], pcy[:, None]], axis=-1)       # (P, 8)
+        nc = len(cls)
+
+        def per_image_fast(loc_i, conf_i):
+            rows = take_cls(conf_i)                      # (P, C')
+            mem = jnp.any(rows > conf_thresh, axis=-1)   # (P,)
+            pos = jnp.cumsum(mem.astype(jnp.int32)) - 1
+            slot = jnp.where(mem, pos, B)                # (P,)
+            oh = (slot[None, :]
+                  == jnp.arange(B)[:, None]).astype(jnp.float32)
+            payload = jnp.concatenate(
+                [loc_i[:, 0], pconst, rows], axis=-1)    # (P, 12+C')
+            comp = jnp.dot(oh, payload,
+                           precision=jax.lax.Precision.HIGHEST)
+            l, pv = comp[:, :4], comp[:, 4:8]            # (B, 4)
+            pw_c, ph_c = comp[:, 8], comp[:, 9]
+            pcx_c, pcy_c = comp[:, 10], comp[:, 11]
+            csc = comp[:, 12:]                           # (B, C')
+            cx = pv[:, 0] * l[:, 0] * pw_c + pcx_c
+            cy = pv[:, 1] * l[:, 1] * ph_c + pcy_c
+            w_ = jnp.exp(pv[:, 2] * l[:, 2]) * pw_c
+            h_ = jnp.exp(pv[:, 3] * l[:, 3]) * ph_c
+            boxes = jnp.stack([cx - w_ / 2, cy - h_ / 2,
+                               cx + w_ / 2, cy + h_ / 2], axis=-1)
+            sc = csc.T                                   # (C', B)
+            # level 2: per-class compaction B -> Bc (index-ordered)
+            candc = sc > conf_thresh                     # (C', B)
+            posc = jnp.cumsum(candc.astype(jnp.int32), axis=-1) - 1
+            slotc = jnp.where(candc, posc, Bc)           # (C', B)
+            ohc = (slotc[:, None, :]
+                   == jnp.arange(Bc)[None, :, None]).astype(jnp.float32)
+            payc = jnp.concatenate(
+                [jnp.broadcast_to(boxes[None], (nc, B, 4)),
+                 sc[..., None]], axis=-1)                # (C', B, 5)
+            compc = jnp.einsum("ckb,cbf->ckf", ohc, payc,
+                               precision=jax.lax.Precision.HIGHEST)
+            bx, sc = compc[..., :4], compc[..., 4]       # (C', Bc, ...)
+            keep = greedy_nms_bitpack(bx, sc > conf_thresh, nms_thresh,
+                                      scores=sc)
+            sc = jnp.where(keep, sc, -1.0)
+            lb = jnp.broadcast_to(
+                jnp.asarray(cls, jnp.float32)[:, None], sc.shape)
+            sc = sc.reshape(-1)
+            bx = bx.reshape(-1, 4)
+            lb = lb.reshape(-1)
+            top, ti = jax.lax.approx_max_k(
+                sc, min(keep_top_k, sc.shape[0]), recall_target=1.0)
+            pad = keep_top_k - top.shape[0]
+            good = top > 0
+            row = jnp.concatenate([
+                jnp.where(good, lb[ti], -1.0)[:, None],
+                jnp.where(good, top, 0.0)[:, None],
+                jnp.where(good[:, None], bx[ti], 0.0)], axis=-1)
+            if pad:
+                row = jnp.concatenate(
+                    [row, jnp.tile(jnp.asarray(
+                        [[-1., 0., 0., 0., 0., 0.]], jnp.float32),
+                        (pad, 1))])
+            return row
+
+        # Branch operands stay RAW/FLAT: a conditional materializes its
+        # operands, and the reshaped (N, P, C) f32 conf at 21-lane
+        # minor layout is ~6x padded in VMEM/HBM.  Each branch does its
+        # own reshape+upcast.
+        def _reshape(lc):
+            lo = lc[0].reshape(n, P, num_loc, 4).astype(jnp.float32)
+            co = lc[1].reshape(n, P, num_classes).astype(jnp.float32)
+            return lo, co
+
+        if tf_budget < 0:
+            # PROBE ONLY (unsafe on overflow): skip the predicate/cond
+            # to measure the conditional boundary's in-context cost.
+            rows = jax.vmap(per_image_fast)(loc, conf)
+        else:
+            rows = jax.lax.cond(
+                ok,
+                lambda lc: jax.vmap(per_image_fast)(*_reshape(lc)),
+                lambda lc: _dispatch(*_reshape(lc)),
+                (loc0, conf0))
     else:
-        rows = jax.vmap(per_image)(loc, conf)   # (N, keep, 6)
+        rows = _dispatch(loc, conf)
     img_id = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.float32)[:, None, None],
         (n, keep_top_k, 1))
@@ -1357,13 +1505,22 @@ def _lower_pool(node, inputs, params, ctx):
                  / q["y_scale"]) / denom
             return [jnp.clip(jnp.round(y.astype(jnp.float32) * s),
                              -127, 127).astype(jnp.int8)]
-        return [(y.astype(jnp.float32) / denom).astype(x.dtype)]
+        yf = y.astype(jnp.float32) / denom
+        if int8_in:
+            # unreachable under current marking rules (AVE pools only see
+            # int8 when requant-marked) — round+clip rather than silently
+            # truncate toward zero if that invariant ever breaks
+            return [jnp.clip(jnp.round(yf), -127, 127).astype(jnp.int8)]
+        return [yf.astype(x.dtype)]
     if rq and x.dtype == jnp.int8:
         # int8 requant path accumulates in int32 (<=k*k*127 fits with
         # room) and folds x/y scales and the window denominators into
         # ONE f32 multiply — no f32 copy of the big input tensor
-        # (ShuffleNet-v1 transition pools, bench/pool_micro.py: exact,
-        # 0.138 -> ~0 ms isolated at (128,28,28,240)).
+        # (ShuffleNet-v1 transition pools, bench/pool_micro.py:
+        # exact to f32 rounding — the fused (sx/sy)/denom multiply can
+        # differ from the two-step (sum/denom)*(sx/sy) by 1 LSB on exact
+        # round-half boundaries; goldens pass.  0.138 -> ~0 ms isolated
+        # at (128,28,28,240)).
         y = jax.lax.reduce_window(
             x.astype(jnp.int32), 0, jax.lax.add,
             window_dimensions=(1, kh, kw, 1),

@@ -183,8 +183,10 @@ def fold_scale_chain(graph: Graph) -> None:
         keep: List[Node] = []
         dropped = set()
         for n in graph.nodes:
-            if (n.op != "Scale" or not n.params or len(n.inputs) > 1
-                    or n.name in dropped):
+            if n.name in dropped:
+                continue  # folded-away producer — remove even if it
+                # appears after its consumer in graph.nodes
+            if n.op != "Scale" or not n.params or len(n.inputs) > 1:
                 keep.append(n)
                 continue
             prod = producers.get(n.inputs[0])

@@ -267,6 +267,78 @@ def test_detection_output_blocked_nms_matches_fixpoint(rng):
     np.testing.assert_array_equal(radix16, approx16)
 
 
+def test_detection_output_thresh_first_exact(rng):
+    """det_thresh_first (threshold-FIRST compaction, Caffe's actual
+    order) must reproduce the full path bit-for-bit when the survivor
+    budgets hold, and fall back exactly when they overflow.  The score
+    distribution plants ~40 surviving priors (trained-SSD-like) on a
+    background-dominated softmax."""
+    P, C, keep = 800, 6, 100
+    pcx = rng.uniform(0.1, 0.9, P)
+    pcy = rng.uniform(0.1, 0.9, P)
+    pw = rng.uniform(0.05, 0.3, P)
+    ph = rng.uniform(0.05, 0.3, P)
+    priors = np.stack([pcx - pw / 2, pcy - ph / 2,
+                       pcx + pw / 2, pcy + ph / 2], -1).astype(np.float32)
+    variances = np.tile(np.asarray([0.1, 0.1, 0.2, 0.2], np.float32),
+                        (P, 1))
+    loc = rng.normal(scale=0.5, size=(2, P, 4)).astype(np.float32)
+    logits = rng.normal(scale=2.0, size=(2, P, C)).astype(np.float32)
+    logits[:, :, 0] += 12.0                    # background dominates
+    hot = rng.permutation(P)[:40]
+    logits[:, hot, 1:] += 14.0                 # planted survivors
+    conf = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    prior_blob = np.stack([priors.reshape(-1),
+                           variances.reshape(-1)])[None]
+    attrs = {"num_classes": C, "share_location": True,
+             "background_label_id": 0, "nms_threshold": 0.45,
+             "nms_top_k": 400, "keep_top_k": keep,
+             "confidence_threshold": 0.05}
+    ins = [loc.reshape(2, -1), conf.reshape(2, -1),
+           prior_blob.astype(np.float32)]
+    # predicate holds by construction: assert it in numpy so a silent
+    # always-fallback can't fake this test green
+    n_cls = (conf[:, :, 1:] > 0.05).sum(1)
+    assert n_cls.sum(-1).max() <= 128 and n_cls.max() <= 128
+    (base,) = _run("DetectionOutput", attrs, ins,
+                   config=EngineConfig(det_thresh_first=0))
+    (fast,) = _run("DetectionOutput", attrs, ins,
+                   config=EngineConfig(det_thresh_first=128))
+    np.testing.assert_array_equal(fast, base)
+    assert (base[:, :, 1] >= 0).any()
+    # overflow -> exact fallback (budget 16 < ~40 survivors)
+    assert n_cls.sum(-1).max() > 16
+    (fb,) = _run("DetectionOutput", attrs, ins,
+                 config=EngineConfig(det_thresh_first=16))
+    np.testing.assert_array_equal(fb, base)
+    # bf16 conf origin (the deploy dtype): same detection MULTISET,
+    # bit-for-bit — bf16 quantization creates exact score ties, and the
+    # final keep_top_k flattens a differently-sized candidate list per
+    # path (C'xK vs C'xBc), so equal-score rows may permute; values may
+    # not differ.
+    import jax.numpy as jnp
+    ins16 = [jnp.asarray(ins[0], jnp.bfloat16),
+             jnp.asarray(ins[1], jnp.bfloat16), ins[2]]
+    (fast16,) = _run("DetectionOutput", attrs, ins16,
+                     config=EngineConfig(det_thresh_first=128))
+    (base16,) = _run("DetectionOutput", attrs, ins16,
+                     config=EngineConfig(det_thresh_first=0))
+
+    def _rowsort(y):
+        flat = y.reshape(-1, y.shape[-1])
+        return flat[np.lexsort(flat.T[::-1])]
+
+    f16, b16 = _rowsort(fast16), _rowsort(base16)
+    # img_id/label/score columns bit-exact (scores ride the one-hot
+    # compaction as exact copies); box columns to 1 ulp — XLA's fma
+    # fusion choice in the decode differs between the (P,) and
+    # compacted (B,) contexts (same arithmetic, fused multiply-add
+    # rounding only).
+    np.testing.assert_array_equal(f16[:, :3], b16[:, :3])
+    np.testing.assert_allclose(f16[:, 3:], b16[:, 3:],
+                               rtol=2e-7, atol=2e-7)
+
+
 def test_detection_output_planted_box():
     """One hot prior per class, zero loc offsets: the output rows must be
     the priors themselves at their softmax scores."""
