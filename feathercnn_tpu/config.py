@@ -177,6 +177,23 @@ class EngineConfig:
     # heads only.
     det_thresh_first: int = 0
 
+    # R-FCN: fuse PSROIPooling with its global-AVE vote pool into ONE
+    # mask contraction emitting (R, 1, 1, C) — per-bin counts are
+    # separable (ch*cw) so the per-bin average folds into row-normalized
+    # axis masks, and the k^2 vote mean contracts the bin axes away (no
+    # (R, k, k, C) intermediate).  Exact to f32 rounding (7e-7 max rel
+    # on rfcn CPU).  MEASURED DEAD END at rfcn b4: -2.2% paired
+    # (bench/config_ab.py 2026-08-21, 506.8 vs 495.6 img/s) — the
+    # staged rijc einsum + tiny divide/reduce fuse better than the
+    # single rc contraction.  Kept as an opt-in probe flag
+    # (passes.fuse_psroi_ave).
+    psroi_fuse_ave: bool = False
+
+    # ROIPooling: disable the bin-length level cap on the dyadic pyramid
+    # (A/B handle for the round-5 capped-build + 4-take query form;
+    # bench/roi_micro.py: 33 -> 19 ms isolated at faster_rcnn b16).
+    roipool_full_pyramid: bool = False
+
     # ROIPooling via a dyadic range-max pyramid (4 gathered rows per bin)
     # instead of full-map membership-mask reductions — exact either way
     # (bin max is a selection); the mask form costs R*bins*H*W*C VPU ops,

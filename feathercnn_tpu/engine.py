@@ -54,6 +54,9 @@ class Engine:
                      merge_siblings=self.config.merge_siblings,
                      merge_concats=self.config.merge_concats,
                      fold_scale_chains=self.config.fold_scale_chains)
+            if self.config.psroi_fuse_ave:
+                from .passes import fuse_psroi_ave
+                fuse_psroi_ave(self.graph)
         if self.config.quant:
             from .quant.rewrite import quantize_graph
             quantize_graph(self.graph, self.config.quant,

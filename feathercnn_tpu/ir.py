@@ -430,6 +430,10 @@ def _psroipool_shape(node, in_specs, graph):
         raise ValueError(
             f"{node.name}: PSROIPooling input channels {cin} != "
             f"group_size^2 * output_dim = {k * k * c}")
+    if node.attrs.get("fuse_ave"):
+        # fused vote-average tail (passes.fuse_psroi_ave): the global
+        # AVE pool's (R, 1, 1, C) shape, bins contracted away
+        return [TensorSpec((r, 1, 1, c), in_specs[0].dtype)]
     return [TensorSpec((r, k, k, c), in_specs[0].dtype)]
 
 

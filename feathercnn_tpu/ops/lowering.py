@@ -1025,7 +1025,24 @@ def _lower_roipool(node, inputs, params, ctx):
     hi_h = jnp.where(pad_roi[:, None], 0, hi_h + off[:, None])
 
     if ctx.config.roipool_table:
-        out = _roi_range_max(xf, lo_h, hi_h, lo_w, hi_w, max_len_h=H)
+        # Pyramid level cap (b16 re-diagnosis, bench/roi_micro.py): the
+        # full dyadic pyramid builds nlh*nlw = 36 map copies (13.6 ms of
+        # pure HBM traffic at faster_rcnn b16) but bin RANGES never
+        # exceed ceil(size/bins)+2 when the ROI fits the map, so only
+        # bit_length(maxbin-1) levels are ever queried — 12 copies,
+        # 3.9 ms.  Sound only for map-clipped ROIs: Proposal clips its
+        # boxes to the image, so cap when that is the producer; raw ROI
+        # inputs keep the full pyramid (a beyond-map ROI's clipped bins
+        # can span the whole axis).
+        prod = {pn.outputs[0]: pn for pn in ctx.graph.nodes}.get(
+            node.inputs[1])
+        clipped = (prod is not None and prod.op == "Proposal"
+                   and not getattr(ctx.config, "roipool_full_pyramid",
+                                   False))
+        mb_h = (H + ph - 1) // ph + 2 if clipped else None
+        mb_w = (W + pw - 1) // pw + 2 if clipped else None
+        out = _roi_range_max(xf, lo_h, hi_h, lo_w, hi_w, max_len_h=H,
+                             max_bin_h=mb_h, max_bin_w=mb_w)
         return [out.astype(x.dtype)]
 
     # membership-mask form (roipool_table=False): select-and-reduce the
@@ -1050,7 +1067,8 @@ def _lower_roipool(node, inputs, params, ctx):
     return [out.astype(x.dtype)]
 
 
-def _roi_range_max(x, lo_h, hi_h, lo_w, hi_w, max_len_h=None):
+def _roi_range_max(x, lo_h, hi_h, lo_w, hi_w, max_len_h=None,
+                   max_bin_h=None, max_bin_w=None):
     """Exact 2D range-max over [lo_h,hi_h) x [lo_w,hi_w) bins via a
     dyadic (sparse-table) pyramid: T[lh, lw, y, x] = max over the
     2^lh x 2^lw block at (y, x).  Each bin is then the max of the 4
@@ -1067,10 +1085,20 @@ def _roi_range_max(x, lo_h, hi_h, lo_w, hi_w, max_len_h=None):
     N*H batch (batched ROIPooling): queried ranges never exceed one
     image's H, so levels past (H-1).bit_length() would be pure build
     waste.  Entries whose block spills across an image boundary are
-    never queried (ranges live inside one image by construction)."""
+    never queried (ranges live inside one image by construction).
+
+    max_bin_h/max_bin_w cap levels further to the maximum BIN length
+    (caller-guaranteed bound on hi-lo): the two half-size blocks cover
+    any len <= 2^nlevels, so bit_length(maxbin-1) levels suffice —
+    at faster_rcnn b16 this cuts the build from 36 to 12 map copies
+    (13.6 -> 3.9 ms, bench/roi_micro.py)."""
     H, W, C = x.shape
     nlh = max((max_len_h or H) - 1, 1).bit_length()
     nlw = max(W - 1, 1).bit_length()   # levels 0..nl-1 cover len<=size
+    if max_bin_h:
+        nlh = min(nlh, max(max_bin_h - 1, 1).bit_length())
+    if max_bin_w:
+        nlw = min(nlw, max(max_bin_w - 1, 1).bit_length())
 
     rows = [x]
     for l in range(1, nlh):
@@ -1105,13 +1133,17 @@ def _roi_range_max(x, lo_h, hi_h, lo_w, hi_w, max_len_h=None):
     x1 = jnp.clip(hi_w - jnp.left_shift(1, lw), 0, W - 1)
 
     base = (lh[:, :, None] * nlw + lw[:, None, :]) * H    # (R, ph, pw)
-    ys = jnp.stack([y0, y1], axis=-1)                 # (R, ph, 2)
-    xs = jnp.stack([x0, x1], axis=-1)                 # (R, pw, 2)
-    idx = ((base[..., None, None] + ys[:, :, None, :, None]) * W
-           + xs[:, None, :, None, :])                 # (R, ph, pw, 2, 2)
-    R, ph, pw = idx.shape[:3]
-    g = jnp.take(table, idx.reshape(R, ph, pw, 4), axis=0)
-    out = jnp.max(g, axis=3)                          # (R, ph, pw, C)
+    # Four SEPARATE flat gathers maxed pairwise instead of one take
+    # with a trailing (2, 2) batch dim: 18.6 -> 14.9 ms at b16
+    # (bench/roi_micro.py query_4takes); mode="clip" skips the
+    # fill-mode bounds select (indices are in range by construction).
+    out = None
+    for ys_ in (y0, y1):
+        for xs_ in (x0, x1):
+            ix = (base + ys_[:, :, None]) * W + xs_[:, None, :]
+            g = jnp.take(table, ix.reshape(-1), axis=0, mode="clip")
+            out = g if out is None else jnp.maximum(out, g)
+    out = out.reshape(base.shape + (C,))              # (R, ph, pw, C)
     valid = (len_h[:, :, None] > 0) & (len_w[:, None, :] > 0)
     return jnp.where(valid[..., None], out, jnp.zeros((), x.dtype))
 
@@ -1181,6 +1213,23 @@ def _lower_psroipool(node, inputs, params, ctx):
     mh = axis_masks(S_y, L_y, H, offset=bidx * H,
                     flat_size=N * H)                  # (R, k, N*H)
     mw = axis_masks(S_x, L_x, W)                      # (R, k, W)
+    if node.attrs.get("fuse_ave"):
+        # Fused k x k vote average (passes.fuse_psroi_ave): per-bin
+        # counts are SEPARABLE — count[r,i,j] = ch[r,i] * cw[r,j] — so
+        # row-normalizing the two axis masks folds the per-bin average
+        # (empty bins contribute 0 via their all-zero mask row, matching
+        # the unfused where(count>0) semantics), and contracting the bin
+        # axes away emits (R, C) directly: no (R, k, k, C) intermediate,
+        # one einsum instead of einsum + divide + reduce.  Exact to f32
+        # rounding (the division moves from k^2*C elements to 2k mask
+        # rows).
+        ch = mh.sum(-1)                               # (R, k)
+        cw = mw.sum(-1)
+        mh_n = mh / jnp.maximum(ch, 1.0)[..., None]
+        mw_n = mw / jnp.maximum(cw, 1.0)[..., None]
+        avg = jnp.einsum("rih,rjw,hwijc->rc", mh_n, mw_n, xs,
+                         precision=jax.lax.Precision.HIGHEST)
+        return [(avg / (k * k))[:, None, None, :].astype(x.dtype)]
     ssum = jnp.einsum("rih,rjw,hwijc->rijc", mh, mw, xs,
                       precision=jax.lax.Precision.HIGHEST)
     count = (mh.sum(-1)[:, :, None] * mw.sum(-1)[:, None, :])

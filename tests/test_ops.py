@@ -505,6 +505,72 @@ def _roipool_table_vs_masks(rng, shape):
         np.testing.assert_array_equal(y_tab, y_msk)
 
 
+def test_roipool_capped_pyramid_matches_full(rng):
+    """The bin-length level cap (round 5: 36 -> 12 map copies at
+    faster_rcnn b16) must be invisible for map-clipped ROIs: query
+    ranges never exceed ceil(size/bins)+2, so the capped pyramid
+    returns bit-identical bin maxima."""
+    from feathercnn_tpu.ops.lowering import _roi_range_max
+    import jax.numpy as jnp
+    H, W, C, bins = 23, 31, 5, 7
+    x = jnp.asarray(rng.normal(size=(H, W, C)).astype(np.float32))
+    R = 40
+    y1 = rng.integers(0, H, R)
+    y2 = np.minimum(y1 + rng.integers(0, H, R), H - 1)
+    x1 = rng.integers(0, W, R)
+    x2 = np.minimum(x1 + rng.integers(0, W, R), W - 1)
+
+    def bounds(start, end, size):
+        ln = np.maximum(end - start + 1, 1)
+        i = np.arange(bins)
+        lo = (i[None] * ln[:, None]) // bins + start[:, None]
+        hi = ((i[None] + 1) * ln[:, None] + bins - 1) // bins \
+            + start[:, None]
+        return (jnp.asarray(np.clip(lo, 0, size).astype(np.int32)),
+                jnp.asarray(np.clip(hi, 0, size).astype(np.int32)))
+
+    lo_h, hi_h = bounds(y1, y2, H)
+    lo_w, hi_w = bounds(x1, x2, W)
+    full = _roi_range_max(x, lo_h, hi_h, lo_w, hi_w)
+    capped = _roi_range_max(x, lo_h, hi_h, lo_w, hi_w,
+                            max_bin_h=(H + bins - 1) // bins + 2,
+                            max_bin_w=(W + bins - 1) // bins + 2)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(capped))
+
+
+def test_psroi_fuse_ave_matches_unfused(rng):
+    """psroi_fuse_ave: PSROIPooling + global AVE vote pool fused into
+    one mask contraction must match the staged pair to f32 rounding
+    (separable-count normalization; empty bins contribute 0 either
+    way)."""
+    from feathercnn_tpu import EngineConfig
+    k, cdim = 3, 4
+    x = rng.normal(size=(2, 12, 9, k * k * cdim)).astype(np.float32)
+    rois = np.asarray([
+        [0, 0, 0, 130, 170],
+        [1, 16, 32, 120, 150],
+        [0, 63, 63, 62, 62],      # degenerate: empty bins
+        [-1, 0, 0, 0, 0],         # padding row
+    ], np.float32)
+    g0 = Graph("t", {"x": TensorSpec(x.shape),
+                     "rois": TensorSpec(rois.shape)}, ["y"],
+               [Node("n", "PSROIPooling", ["x", "rois"], ["p"],
+                     {"group_size": k, "output_dim": cdim,
+                      "spatial_scale": 1 / 16.0}),
+                Node("ave", "Pooling", ["p"], ["y"],
+                     {"pool": "AVE", "global_pooling": True})])
+    feed = {"x": x, "rois": rois}
+    import copy
+    base = np.asarray(Engine(copy.deepcopy(g0),
+                             EngineConfig(psroi_fuse_ave=False)
+                             ).run(feed)["y"])
+    fused = np.asarray(Engine(copy.deepcopy(g0),
+                              EngineConfig(psroi_fuse_ave=True)
+                              ).run(feed)["y"])
+    assert fused.shape == base.shape == (4, 1, 1, cdim)
+    np.testing.assert_allclose(fused, base, rtol=1e-5, atol=1e-6)
+
+
 def _np_proposal(scores, deltas, im_info, anchors, feat_stride,
                  pre_n, post_n, thresh, min_size):
     """Direct numpy port of py-faster-rcnn proposal_layer.py."""
