@@ -189,6 +189,15 @@ class EngineConfig:
     # (passes.fuse_psroi_ave).
     psroi_fuse_ave: bool = False
 
+    # Proposal pre-NMS selection as ONE stable sort carrying the box
+    # columns as payload (no gather, no one-hot), and the post-NMS box
+    # gather through the gather engine.  K/P = 6000/17100 = 35% is
+    # approx_max_k's degenerate regime: isolated b16 race
+    # (bench/proposal_micro.py) approx+onehot 2.62 ms / approx+take
+    # 0.90 / payload sort 0.64 / radix 3.16.  Off = legacy approx +
+    # one-hot dot.
+    proposal_sort_payload: bool = True
+
     # ROIPooling: disable the bin-length level cap on the dyadic pyramid
     # (A/B handle for the round-5 capped-build + 4-take query form;
     # bench/roi_micro.py: 33 -> 19 ms isolated at faster_rcnn b16).

@@ -911,14 +911,25 @@ def _lower_proposal(node, inputs, params, ctx):
         fg = jnp.where((bw >= ms) & (bh >= ms), fg, -jnp.inf)
 
         K = min(pre_n, fg.shape[0])
-        # approx_max_k's partitioned reduction beats sort-based top_k
-        # ~1.8x on TPU (same swap as DetectionOutput, ROADMAP.md);
-        # recall_target=1.0 keeps scores exact and descending — only tie
-        # order can differ, which greedy NMS is agnostic to
-        top, idx = jax.lax.approx_max_k(fg, K, recall_target=1.0)
-        oh = jax.nn.one_hot(idx, boxes.shape[0], dtype=jnp.float32)
-        b = jnp.dot(oh, boxes,
-                    precision=jax.lax.Precision.HIGHEST)     # (K, 4)
+        if getattr(ctx.config, "proposal_sort_payload", True):
+            # Pre-NMS top-K via ONE stable sort carrying the 4 box
+            # columns as payload — no gather, no one-hot.  K/P is 35%
+            # (6000 of 17100), approx_max_k's DEGENERATE regime (the
+            # round-4 MobileNet-SSD finding): the approx + one-hot-dot
+            # stage measured 2.62 ms isolated at b16 vs 0.64 ms for the
+            # payload sort (bench/proposal_micro.py; approx+take 0.90,
+            # radix 3.16 — the one-hot contraction scales with P).
+            srt = jax.lax.sort(
+                [-fg, boxes[:, 0], boxes[:, 1], boxes[:, 2],
+                 boxes[:, 3]], num_keys=1)
+            top = -srt[0][:K]
+            b = jnp.stack([s[:K] for s in srt[1:]], axis=-1)  # (K, 4)
+        else:
+            # legacy: approx_max_k + one-hot box gather
+            top, idx = jax.lax.approx_max_k(fg, K, recall_target=1.0)
+            oh = jax.nn.one_hot(idx, boxes.shape[0], dtype=jnp.float32)
+            b = jnp.dot(oh, boxes,
+                        precision=jax.lax.Precision.HIGHEST)  # (K, 4)
         keep = greedy_nms(b, top > -jnp.inf, nms_thresh,
                           plus_one=1.0, block=nms_block)
         sc = jnp.where(keep, top, -jnp.inf)
@@ -929,8 +940,11 @@ def _lower_proposal(node, inputs, params, ctx):
         # require the gathered score to be finite, so a sentinel index
         # can never resurrect a suppressed/zero box as a valid ROI
         ri = jnp.clip(ri, 0, K - 1)
-        oh2 = jax.nn.one_hot(ri, K, dtype=jnp.float32)
-        rb_ = jnp.dot(oh2, b, precision=jax.lax.Precision.HIGHEST)
+        if getattr(ctx.config, "proposal_sort_payload", True):
+            rb_ = jnp.take(b, ri, axis=0)   # gather engine: scales w/ R
+        else:
+            oh2 = jax.nn.one_hot(ri, K, dtype=jnp.float32)
+            rb_ = jnp.dot(oh2, b, precision=jax.lax.Precision.HIGHEST)
         good = jnp.take(keep, ri) & (sc_top > -jnp.inf)
         rois = jnp.where(good[:, None], rb_, 0.0)
         if R < post_n:
