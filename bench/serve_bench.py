@@ -49,18 +49,31 @@ def main():
     if args.quant == "w8a8":
         from feathercnn_tpu.quant import calibrate
         g_cal = builder(batch=4, **bkw)
-        calibrate(g_cal, [np.random.default_rng(1).normal(
+        cal0 = np.random.default_rng(1).normal(
             size=(4,) + tuple(next(iter(g_cal.inputs.values())).shape[1:])
-        ).astype(np.float32)], method="max")
+        ).astype(np.float32)
+        if len(g_cal.inputs) > 1:     # two-stage models: im_info etc.
+            from feathercnn_tpu.utils.timing import default_extra_inputs
+            cal = [{next(iter(g_cal.inputs)): cal0,
+                    **default_extra_inputs(g_cal)}]
+        else:
+            cal = [cal0]
+        calibrate(g_cal, cal, method="max")
         g.meta.update({k: g_cal.meta[k]
                        for k in ("act_scales", "value_scales")})
     eng = Engine(g, EngineConfig(compute_dtype=args.dtype,
                                  quant=args.quant,
                                  algo_overrides=((("*", "xla"),)
                                                  if args.quant else ())))
+    extra = {}
+    if len(g.inputs) > 1:             # two-stage: fixed im_info etc.
+        from feathercnn_tpu.utils.timing import default_extra_inputs
+        extra = {k: np.asarray(v)[:args.batch] if np.asarray(v).ndim
+                 else v for k, v in default_extra_inputs(g).items()}
     srv = InferenceServer(eng, batch_size=args.batch,
                           batch_timeout_us=args.timeout_us,
-                          pipeline_depth=args.pipeline_depth)
+                          pipeline_depth=args.pipeline_depth,
+                          extra_inputs=extra or None)
     print("compiling fixed batch slot...", file=sys.stderr)
     srv.start()
 

@@ -126,13 +126,21 @@ class InferenceServer:
         self._out_names = list(engine.graph.outputs)
         out_shapes = [tuple(int(d) for d in engine.graph.specs[nm].shape)
                       for nm in self._out_names]
-        # Detection graphs emit ROI-major outputs ((R, 5) rois,
-        # (R, classes) scores) whose leading dim is NOT the image
-        # batch: serve those whole-output-per-image at batch 1.
-        self._whole_output = any(s[0] != in_spec.shape[0]
-                                 for s in out_shapes)
-        if self._whole_output:
-            if in_spec.shape[0] != 1 or batch_size != 1:
+        # Detection graphs emit ROI-major outputs ((N*R, 5) rois,
+        # (N*R, classes) scores) whose leading dim is NOT the image
+        # batch.  Proposal emits rows IMAGE-MAJOR (R consecutive rows
+        # per image, ops/lowering.py), so when every output's leading
+        # dim is an integer multiple of the batch, each request gets
+        # its contiguous row block; otherwise fall back to
+        # whole-output-per-image at batch 1.
+        nb = in_spec.shape[0]
+        self._whole_output = any(s[0] != nb for s in out_shapes)
+        if self._whole_output and all(s[0] % nb == 0
+                                      for s in out_shapes):
+            per_req = [(s[0] // nb,) + tuple(s[1:]) for s in out_shapes]
+            self._whole_output = False
+        elif self._whole_output:
+            if nb != 1 or batch_size != 1:
                 raise ValueError(
                     f"outputs {self._out_names} are not image-batch-major "
                     f"({out_shapes}); serve this engine at batch_size=1")

@@ -405,6 +405,57 @@ def test_server_extra_inputs_two_stage(rng):
         srv.stop()
 
 
+def test_server_roi_major_batched(rng):
+    """Round 5: ROI-major outputs at batch > 1 — every output's leading
+    dim is an integer multiple of the batch (Proposal emits image-major
+    row blocks), so the batcher splits each request its contiguous
+    block instead of refusing (the old path demanded batch_size=1).
+    Each request must get exactly the rows of ITS image."""
+    from feathercnn_tpu.models.builder import GraphBuilder
+    from feathercnn_tpu.models.zoo import _rpn_softmax
+
+    B = 4
+    b = GraphBuilder("srvrb", seed=8)
+    data = b.input("data", (B, 32, 32, 3))
+    im_info = b.input("im_info", (B, 3))
+    x = b.conv("c1", data, 8, 3, stride=2, pad=1, relu=True)
+    cls = b.conv("rpn_cls", x, 18, 1)
+    box = b.conv("rpn_box", x, 36, 1)
+    prob = _rpn_softmax(b, cls, "sm")
+    rois = b.proposal("rois", prob, box, im_info, feat_stride=2,
+                      pre_nms_top_n=32, post_nms_top_n=4, min_size=2)
+    g = b.finish([rois])
+    eng = Engine(g)
+    info = np.tile(np.asarray([[32.0, 32.0, 1.0]], np.float32), (B, 1))
+    srv = InferenceServer(eng, batch_size=B, prefer_native_queue=False,
+                          extra_inputs={"im_info": info},
+                          batch_timeout_us=200_000)
+    srv.start()
+    try:
+        imgs = rng.normal(size=(3, 32, 32, 3)).astype(np.float32)
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(3) as ex:
+            outs = list(ex.map(srv.infer, imgs))
+        for i, out in enumerate(outs):
+            assert out.shape == (4, 5)
+            batch = np.concatenate(
+                [imgs[i][None], np.zeros((B - 1, 32, 32, 3),
+                                         np.float32)])
+            ref = np.asarray(eng.run({"data": batch,
+                                      "im_info": info})["rois"])[:4]
+            # image 0's block of an all-[img,pad,pad,pad] batch equals
+            # the served row block when the request rode slot 0; served
+            # requests may land on any slot, so compare against the
+            # per-slot reference of a batch holding the image alone
+            got_valid = out[out[:, 0] >= 0]
+            ref_valid = ref[ref[:, 0] >= 0]
+            np.testing.assert_allclose(
+                got_valid[:, 1:], ref_valid[:, 1:], rtol=1e-4,
+                atol=1e-4)
+    finally:
+        srv.stop()
+
+
 def test_server_multi_output(rng):
     """Multi-output engines (two-stage detectors emit cls_prob/bbox_pred/
     rois): infer_outputs returns EVERY graph output, and the HTTP
