@@ -165,6 +165,13 @@ def node_floor_s(graph, n, quant, peak, concat_floor=False):
         b = (graph.specs[n.inputs[0]].size
              + graph.specs[n.outputs[0]].size) * act_b
         return b / HBM_BW, 0.0
+    if n.op == "Interp":
+        # A resize must materialize its output (and read its input): the
+        # PSPNet/DeepLab zoom-x8 heads write hundreds of MB — mandatory
+        # traffic the FLOP-only floor was silently omitting.
+        b = (graph.specs[n.inputs[0]].size
+             + graph.specs[n.outputs[0]].size) * act_b
+        return b / HBM_BW, 0.0
     fl = node_flops(graph, n)
     if fl <= 0:
         return 0.0, 0.0

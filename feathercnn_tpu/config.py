@@ -153,6 +153,30 @@ class EngineConfig:
     # fast — the cost is contextual).  A/B per model before baking.
     avepool_dwconv: bool = False
 
+    # Non-overlapping AVE pools (stride == kernel, no pad — PSPNet's
+    # pyramid bins, SPP levels) lowered as a reshape + axis sum instead
+    # of a big-window reduce_window: the k=60 "global" bin measured
+    # 1.49 ms at 2.4% SoL through reduce_window in context
+    # (bench/results/ceiling_pspnet50_b4_ppm.json) while the same sum
+    # as a plain reduction reads the int8 tensor once.  i32 accumulation
+    # keeps the requant path bit-exact (integer sums are associative).
+    # In-context A/B on pspnet50 b4: a WASH (the cost is contextual) —
+    # kept as the probe handle; see avepool_matmul for the form that
+    # actually moves the segment.
+    avepool_reshape: bool = False
+
+    # Windowed AVE pools as a pair of ones-band matrix contractions
+    # riding the MXU ("oh,nhwc->nowc" then "pw,nowc->nopc", int8 x int8
+    # -> i32) — the same banded-matmul insight as lrn_band.  Exact: the
+    # band sums are precisely reduce_window's window sums (pad cells
+    # contribute zero on both forms; the clipped-count denominators are
+    # shared), i32 accumulation is order-free.  bench/ppm_ctx_micro.py
+    # at the PSPNet PPM fan-out: pools via matmul +0.32 ms over the
+    # no-pool base vs reduce_window's +0.84 ms, and reduce_window k10
+    # isolated is 0.62 ms vs 0.19 matmul / 0.05 dwconv.  A/B per model
+    # (bench/batch_sweep.py --variants avepool_matmul) before baking.
+    avepool_matmul: bool = False
+
     # DetectionOutput per-class candidate selection via exact radix
     # select on the f32 score bits (31 counting passes find the K-th
     # largest value exactly; membership compacts by INDEX, no sort) —

@@ -907,7 +907,14 @@ def pspnet50(batch: int = 1, seed: int = 0, num_classes: int = 150,
     x = b.interp("conv6_interp", x, zoom_factor=8)
     if with_softmax:
         x = b.softmax("prob", x)
-    return b.finish([x])
+    g = b.finish([x])
+    # Measured bake (paired b4 w8a8, bench/batch_sweep.py 2026-08-21):
+    # the PPM's non-overlapping AVE pools as ones-band MXU contractions
+    # (avepool_matmul) 492 vs 465 img/s base (+5.8%); avepool_dwconv
+    # -10%.  reduce_window at the k10-k60 bins is the in-context loser
+    # (bench/results/ceiling_pspnet50_b4_ppm.json: 2.3 ms at 2-29% SoL).
+    g.meta["config_overrides"] = {"avepool_matmul": True}
+    return g
 
 
 def deeplab_largefov(batch: int = 1, seed: int = 0, num_classes: int = 21,

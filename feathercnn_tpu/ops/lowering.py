@@ -1549,6 +1549,55 @@ def _lower_pool(node, inputs, params, ctx):
     ch = counts(h, kh, sh, ph, oh)
     cw = counts(w, kw, sw, pw, ow)
     denom = jnp.asarray(np.outer(ch, cw))[None, :, :, None]
+    if (getattr(ctx.config, "avepool_reshape", False)
+            and sh == kh and sw == kw and ph == 0 and pw == 0
+            and extra_h == 0 and extra_w == 0
+            and h == oh * kh and w == ow * kw):
+        # Non-overlapping grid pool: one reshape + axis sum replaces the
+        # big-window reduce_window (PSPNet pyramid bins: the k=60 bin
+        # measured 1.49 ms at 2.4% SoL in context; a plain reduction
+        # reads the tensor once).  Sums are over exactly the same
+        # elements; i32 accumulation is order-exact.
+        if rq and x.dtype == jnp.int8:
+            xr = x.astype(jnp.int32).reshape(n, oh, kh, ow, kw, c)
+            ysum = xr.sum(axis=(2, 4))
+            s = (q["x_scale"] / q["y_scale"]) / float(kh * kw)
+            return [jnp.clip(jnp.round(ysum.astype(jnp.float32) * s),
+                             -127, 127).astype(jnp.int8)]
+        xr = x.astype(jnp.float32).reshape(n, oh, kh, ow, kw, c)
+        y = xr.sum(axis=(2, 4)) / float(kh * kw)
+        return [_requant(y) if rq else y.astype(x.dtype)]
+    if getattr(ctx.config, "avepool_matmul", False):
+        # Window sums as two ones-band matrix contractions on the MXU
+        # (cf. lrn_band): P_h is (oh, h) with 1s over each window's
+        # in-range rows — pad cells contribute zero exactly like
+        # reduce_window's 0 init, and the shared clipped-count denom
+        # handles Caffe's pool_size.  i32 accumulation keeps the requant
+        # path bit-exact; bench/ppm_ctx_micro.py for the measured case.
+        def band(size, k, s, p, out, dt):
+            P = np.zeros((out, size), dt)
+            for o_ in range(out):
+                a_ = max(o_ * s - p, 0)
+                b_ = min(o_ * s - p + k, size)
+                P[o_, a_:b_] = 1
+            return jnp.asarray(P)
+
+        int8_in = rq and x.dtype == jnp.int8
+        mdt = np.int8 if int8_in else np.float32
+        acc = jnp.int32 if int8_in else jnp.float32
+        Ph = band(h, kh, sh, ph, oh, mdt)
+        Pw = band(w, kw, sw, pw, ow, mdt)
+        xin = x if int8_in else x.astype(jnp.float32)
+        y = jnp.einsum("oh,nhwc->nowc", Ph, xin,
+                       preferred_element_type=acc)
+        y = jnp.einsum("pw,nowc->nopc", Pw, y,
+                       preferred_element_type=acc)
+        if int8_in:
+            s = (q["x_scale"] / q["y_scale"]) / denom
+            return [jnp.clip(jnp.round(y.astype(jnp.float32) * s),
+                             -127, 127).astype(jnp.int8)]
+        y = y / denom
+        return [_requant(y) if rq else y.astype(x.dtype)]
     if getattr(ctx.config, "avepool_dwconv", False):
         # same sums via the conv emitter (ones depthwise kernel); pad
         # contributes zeros exactly like reduce_window's 0 init

@@ -61,6 +61,35 @@ def test_caffe_ave_pool_pad_counting(rng):
     np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_ave_pool_formulations_match(rng):
+    """avepool_matmul (ones-band MXU contractions) and avepool_reshape
+    (non-overlapping grid sums) must match the reduce_window oracle to
+    f32 rounding — including pads, ceil-mode extra cells, overlapping
+    windows (matmul only), and the clipped Caffe denominators."""
+    from feathercnn_tpu import EngineConfig
+    cases = [
+        {"pool": "AVE", "kernel_size": 3, "stride": 2, "pad": 1,
+         "ceil_mode": True},                       # overlap + pad
+        {"pool": "AVE", "kernel_size": 4, "stride": 4, "pad": 0,
+         "ceil_mode": True},                       # non-overlapping grid
+        {"pool": "AVE", "kernel_size": 12, "stride": 12, "pad": 0,
+         "ceil_mode": True},                       # global-as-kernel
+        {"pool": "AVE", "kernel_size": 5, "stride": 3, "pad": 2,
+         "ceil_mode": True},                       # asymmetric tail
+    ]
+    x = rng.normal(size=(2, 12, 12, 8)).astype(np.float32)
+    for attrs in cases:
+        g = Graph("t", {"x": TensorSpec(x.shape)}, ["y"],
+                  [Node("n", "Pooling", ["x"], ["y"], attrs)])
+        ref = np.asarray(Engine(g, optimize_graph=False)(x))
+        for flag in ("avepool_matmul", "avepool_reshape"):
+            y = np.asarray(Engine(g, EngineConfig(**{flag: True}),
+                                  optimize_graph=False)(x))
+            np.testing.assert_allclose(
+                y, ref, rtol=2e-6, atol=1e-6,
+                err_msg=f"{flag} attrs={attrs}")
+
+
 def test_prelu_channelwise(rng):
     import torch
     x = rng.normal(size=(2, 4, 4, 6)).astype(np.float32)
