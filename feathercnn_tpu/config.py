@@ -177,6 +177,15 @@ class EngineConfig:
     # (bench/batch_sweep.py --variants avepool_matmul) before baking.
     avepool_matmul: bool = False
 
+    # Graph pass: sibling non-overlapping AVE pools over one input
+    # (PSPNet's pyramid bins) derive the coarser bins from the finest
+    # bin's grid — ONE read of the big map instead of four (each pool
+    # consumer pays a contextual tax; the k=60 bin measured 1.04 ms at
+    # 3.4% SoL in context).  fp exact to f32 rounding; under w8a8 the
+    # derived bins re-round the base bin's int8 grid (+-0.5 LSB on the
+    # block means) — per-model bake, accuracy-gate checked.
+    nested_pools: bool = False
+
     # DetectionOutput per-class candidate selection via exact radix
     # select on the f32 score bits (31 counting passes find the K-th
     # largest value exactly; membership compacts by INDEX, no sort) —

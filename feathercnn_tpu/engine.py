@@ -53,7 +53,8 @@ class Engine:
             optimize(self.graph,
                      merge_siblings=self.config.merge_siblings,
                      merge_concats=self.config.merge_concats,
-                     fold_scale_chains=self.config.fold_scale_chains)
+                     fold_scale_chains=self.config.fold_scale_chains,
+                     nested_pools=self.config.nested_pools)
             if self.config.psroi_fuse_ave:
                 from .passes import fuse_psroi_ave
                 fuse_psroi_ave(self.graph)

@@ -908,12 +908,15 @@ def pspnet50(batch: int = 1, seed: int = 0, num_classes: int = 150,
     if with_softmax:
         x = b.softmax("prob", x)
     g = b.finish([x])
-    # Measured bake (paired b4 w8a8, bench/batch_sweep.py 2026-08-21):
-    # the PPM's non-overlapping AVE pools as ones-band MXU contractions
-    # (avepool_matmul) 492 vs 465 img/s base (+5.8%); avepool_dwconv
-    # -10%.  reduce_window at the k10-k60 bins is the in-context loser
+    # Measured bakes (paired b4 w8a8, bench/batch_sweep.py 2026-08-21):
+    # avepool_matmul (PPM bins as ones-band MXU contractions) 492 vs 465
+    # img/s (+5.8%; avepool_dwconv -10%), then nested_pools (bins
+    # {1,2,3} derived from the 6x6 bin's grid — one read of the 29.5 MB
+    # stage-5 map instead of four) 514 vs 464 (+10.8% on top).
+    # reduce_window at the k10-k60 bins is the in-context loser
     # (bench/results/ceiling_pspnet50_b4_ppm.json: 2.3 ms at 2-29% SoL).
-    g.meta["config_overrides"] = {"avepool_matmul": True}
+    g.meta["config_overrides"] = {"avepool_matmul": True,
+                                  "nested_pools": True}
     return g
 
 

@@ -47,12 +47,15 @@ _EPILOGUE_OPS = {"Convolution", "InnerProduct", "Eltwise", "Scale", "Axpy"}
 
 def optimize(graph: Graph, merge_siblings: bool = True,
              merge_concats: bool = False,
-             fold_scale_chains: bool = True) -> Graph:
+             fold_scale_chains: bool = True,
+             nested_pools: bool = False) -> Graph:
     drop_identities(graph)
     fold_batchnorm(graph)
     fold_scale(graph)
     if fold_scale_chains:
         fold_scale_chain(graph)
+    if nested_pools:
+        derive_nested_pools(graph)
     fuse_activation(graph)
     if merge_concats:
         # before merge_sibling_convs: concat-feeding sibling groups get
@@ -237,6 +240,73 @@ def fuse_psroi_ave(graph: Graph) -> None:
                 continue
         keep.append(n)
     graph.nodes = keep
+
+
+def derive_nested_pools(graph: Graph) -> int:
+    """Sibling non-overlapping AVE pools over one input collapse to ONE
+    read of it: with square windows, stride == kernel, no padding, and
+    every k_j a multiple of the smallest k_base dividing the spatial
+    dims, each coarser bin is EXACTLY the average of the finest bin's
+    grid (equal-size blocks — average of averages is the average), so
+    pools j re-point at the base pool's output with kernel k_j/k_base.
+
+    PSPNet's pyramid pooling: the four bins {60,30,20,10} re-read the
+    29.5 MB stage-5 map and each consumer pays a contextual tax (the
+    k=60 global bin alone measured 1.04 ms at 3.4% SoL in context even
+    as a matmul — bench/results/ceiling_pspnet50_b4_ppm2.json); after
+    this pass only the k=10 bin touches it.  fp path exact to f32
+    rounding; under w8a8 the derived bins average the base bin's
+    REQUANTIZED grid (one extra +-0.5 LSB rounding on 36/9/4-cell
+    means — gated per model, accuracy-gate checked).  Returns the
+    number of rewritten pools."""
+    from collections import defaultdict
+    from .ir import infer_shapes
+    infer_shapes(graph)
+
+    def geom(n):
+        k = n.attrs.get("kernel_size")
+        kh = n.attrs.get("kernel_h", k)
+        kw = n.attrs.get("kernel_w", k)
+        sh = n.attrs.get("stride_h", n.attrs.get("stride", 1))
+        sw = n.attrs.get("stride_w", n.attrs.get("stride", 1))
+        ph = n.attrs.get("pad_h", n.attrs.get("pad", 0))
+        pw = n.attrs.get("pad_w", n.attrs.get("pad", 0))
+        return kh, kw, sh, sw, ph, pw
+
+    groups = defaultdict(list)
+    for n in graph.nodes:
+        if n.op != "Pooling" or n.attrs.get("pool", "MAX") != "AVE":
+            continue
+        if n.attrs.get("global_pooling", False):
+            continue
+        kh, kw, sh, sw, ph, pw = geom(n)
+        if kh is None or kh != kw or sh != kh or sw != kw or ph or pw:
+            continue
+        groups[n.inputs[0]].append((kh, n))
+    changed = 0
+    for src, pools in groups.items():
+        if len(pools) < 2:
+            continue
+        h, w = graph.specs[src].shape[1], graph.specs[src].shape[2]
+        pools.sort(key=lambda t: t[0])
+        kb, base = pools[0]
+        if h % kb or w % kb:
+            continue
+        for k, n in pools[1:]:
+            if k % kb:
+                continue
+            n.inputs[0] = base.outputs[0]
+            for a in ("kernel_h", "kernel_w", "stride_h", "stride_w",
+                      "pad_h", "pad_w"):
+                n.attrs.pop(a, None)
+            n.attrs["kernel_size"] = k // kb
+            n.attrs["stride"] = k // kb
+            n.attrs["pad"] = 0
+            changed += 1
+    if changed:
+        topo_sort(graph)
+        infer_shapes(graph)
+    return changed
 
 
 def fold_scale(graph: Graph) -> None:

@@ -174,3 +174,42 @@ def test_fold_scale_chain(rng):
     assert scales[0].attrs.get("activation") == "relu"  # fused ReLU kept
     out = np.asarray(eng(xv))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_derive_nested_pools(rng):
+    """Sibling non-overlapping AVE pools collapse to one read: the
+    coarser bins re-point at the finest bin's grid (average of equal-
+    size block averages == the average; exact to f32 rounding).
+    Non-divisible kernels and MAX pools must be left alone."""
+    def build():
+        b = GraphBuilder("np_", seed=7)
+        x = b.input("data", (2, 12, 12, 6))
+        y = b.conv("c1", x, 8, 3, pad=1)
+        p1 = b.pool("bin1", y, 12, 12, mode="AVE")   # global as kernel
+        p2 = b.pool("bin2", y, 6, 6, mode="AVE")
+        p3 = b.pool("bin3", y, 2, 2, mode="AVE")     # base (smallest)
+        p5 = b.pool("bin5", y, 5, 5, mode="AVE")     # 5 % 2 != 0: keep
+        m = b.pool("mx", y, 2, 2)                    # MAX: keep
+        cat = b.concat("cat", [
+            b.interp("i1", p1, height=12, width=12),
+            b.interp("i2", p2, height=12, width=12),
+            b.interp("i3", p3, height=12, width=12),
+            b.interp("i5", p5, height=12, width=12),
+            b.interp("im", m, height=12, width=12)])
+        return b.finish([cat])
+
+    xv = rng.normal(size=(2, 12, 12, 6)).astype(np.float32)
+    g_ref = build()
+    ref = np.asarray(Engine(g_ref, EngineConfig())(xv))
+    g = build()
+    eng = Engine(g, EngineConfig(nested_pools=True))
+    pools = {n.name: n for n in eng.graph.nodes if n.op == "Pooling"}
+    assert pools["bin1"].inputs[0] == "bin3"
+    assert pools["bin1"].attrs["kernel_size"] == 6
+    assert pools["bin2"].inputs[0] == "bin3"
+    assert pools["bin2"].attrs["kernel_size"] == 3
+    assert pools["bin3"].inputs[0] == "c1"
+    assert pools["bin5"].inputs[0] == "c1"   # non-divisible untouched
+    assert pools["mx"].inputs[0] == "c1"     # MAX untouched
+    out = np.asarray(eng(xv))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-6)
