@@ -186,6 +186,14 @@ class EngineConfig:
     # block means) — per-model bake, accuracy-gate checked.
     nested_pools: bool = False
 
+    # MAX pools (k<=5) as separable shifted-slice maxima instead of
+    # reduce_window — kh+kw strided slices and (kh-1)+(kw-1) elementwise
+    # maxima that fuse into neighbors.  Bit-exact (max is order-free,
+    # same -inf padding).  GoogLeNet's nine in-block 3x3 s1 pools run at
+    # 9.5% SoL through reduce_window in context
+    # (bench/results/ceiling_googlenet_4e_layer.json).  A/B per model.
+    maxpool_shift: bool = False
+
     # DetectionOutput per-class candidate selection via exact radix
     # select on the f32 score bits (31 counting passes find the K-th
     # largest value exactly; membership compacts by INDEX, no sort) —

@@ -1530,6 +1530,25 @@ def _lower_pool(node, inputs, params, ctx):
         neg = (jnp.finfo(x.dtype).min
                if jnp.issubdtype(x.dtype, jnp.floating)
                else jnp.iinfo(x.dtype).min)
+        if (getattr(ctx.config, "maxpool_shift", False)
+                and kh <= 5 and kw <= 5):
+            # Separable shifted-slice maxima instead of reduce_window:
+            # y = max over kh strided h-slices, then kw strided
+            # w-slices — pure elementwise maxima XLA fuses into
+            # neighbors (GoogLeNet's in-block 3x3 s1 pool measured
+            # 0.68 ms at 9.5% SoL through reduce_window in context,
+            # bench/results/ceiling_googlenet_4e_layer.json).  Max is
+            # order-free: bit-exact vs reduce_window, same -inf pads.
+            xp = jnp.pad(x, pad_cfg, constant_values=neg)
+            m = None
+            for dh in range(kh):
+                sl = xp[:, dh:dh + (oh - 1) * sh + 1:sh]
+                m = sl if m is None else jnp.maximum(m, sl)
+            y = None
+            for dw in range(kw):
+                sl = m[:, :, dw:dw + (ow - 1) * sw + 1:sw]
+                y = sl if y is None else jnp.maximum(y, sl)
+            return [y]
         y = jax.lax.reduce_window(
             x, jnp.asarray(neg, x.dtype), jax.lax.max,
             window_dimensions=(1, kh, kw, 1),

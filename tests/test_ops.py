@@ -814,3 +814,25 @@ def test_psroipooling_batch_matches_per_image(rng):
         ref = _np_psroipool(x[b], roi[None], k, cdim, 1 / 16.0)[0]
         np.testing.assert_allclose(y[r], ref, rtol=1e-5, atol=1e-6,
                                    err_msg=f"roi {r}")
+
+
+def test_max_pool_shift_matches_reduce_window(rng):
+    """maxpool_shift (separable shifted-slice maxima) must be
+    BIT-identical to the reduce_window oracle — max is order-free and
+    both pad with -inf — across stride/pad/ceil geometries."""
+    from feathercnn_tpu import EngineConfig
+    cases = [
+        {"kernel_size": 3, "stride": 1, "pad": 1, "ceil_mode": True},
+        {"kernel_size": 3, "stride": 2, "pad": 0, "ceil_mode": True},
+        {"kernel_size": 3, "stride": 2, "pad": 1, "ceil_mode": True},
+        {"kernel_size": 2, "stride": 2, "pad": 0, "ceil_mode": True},
+        {"kernel_size": 5, "stride": 3, "pad": 2, "ceil_mode": False},
+    ]
+    for attrs in cases:
+        x = rng.normal(size=(2, 13, 13, 8)).astype(np.float32)
+        g = Graph("t", {"x": TensorSpec(x.shape)}, ["y"],
+                  [Node("n", "Pooling", ["x"], ["y"], attrs)])
+        ref = np.asarray(Engine(g, optimize_graph=False)(x))
+        y = np.asarray(Engine(g, EngineConfig(maxpool_shift=True),
+                              optimize_graph=False)(x))
+        assert np.array_equal(y, ref), attrs
