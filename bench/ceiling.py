@@ -214,6 +214,9 @@ def main():
                          "output-write bytes as mandatory (concat-ladder "
                          "families where every avoidance formulation "
                          "measured a loss on this backend)")
+    ap.add_argument("--bkw", default="{}",
+                    help="JSON builder kwargs (e.g. bg_bias for the SSD "
+                         "trained-score-profile floors)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.quant in ("none", "None"):
@@ -232,7 +235,7 @@ def main():
 
     import inspect
     builder = MODEL_BUILDERS[args.model]
-    bkw = {}
+    bkw = dict(json.loads(args.bkw))
     if "with_softmax" in inspect.signature(builder).parameters:
         bkw["with_softmax"] = False
     g = builder(batch=args.batch, **bkw)
